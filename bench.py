@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+# bench.py — headline benchmark: SPFF-UNet training throughput on one chip.
+#
+# Prints ONE JSON line:
+#   {"metric": "spff_unet_train_64cube_patches_per_sec_per_chip",
+#    "value": N, "unit": "64^3-voxel patches/s/chip", "vs_baseline": R}
+#
+# Definition: full SPFF-UNet training steps (fwd+bwd+Adam+on-device metrics)
+# on the reference whole-volume shape (B,5,512,512) — 5x512x512 = 1,310,720
+# voxels = exactly 5 "64^3 patches" per sample. Throughput is reported in
+# 64^3-voxel patch-equivalents per second per chip, matching BASELINE.json's
+# "SPFF-UNet 64^3 patches/sec/chip (train)" metric on the real training
+# configuration (the reference trains whole volumes at batch 1 —
+# config.py:27, SURVEY.md §2.6 note: no sliding-window inference).
+#
+# vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+# denominator is our own recorded first-round value in BASELINE.md when
+# present; otherwise 1.0.
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+VOXELS_PER_PATCH = 64 ** 3
+BASELINE_PPS = float(os.getenv("SPCCT_BASELINE_PPS", "0")) or None
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from spcct_tpu.models.recipes import get_recipe
+    from spcct_tpu.train.loop import create_state, make_steps
+
+    batch = int(os.getenv("SPCCT_BENCH_BATCH", "1"))
+    hw = int(os.getenv("SPCCT_BENCH_HW", "512"))
+    frames = 5
+    steps = int(os.getenv("SPCCT_BENCH_STEPS", "20"))
+    warmup = int(os.getenv("SPCCT_BENCH_WARMUP", "3"))
+
+    recipe = get_recipe("SPFF-UNet")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, frames, hw, hw, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 13, (batch, frames, hw, hw)).astype(np.int32))
+
+    state, opt = create_state(recipe, jax.random.PRNGKey(0), x, 100, 100)
+    train_step, _ = make_steps(recipe, opt)
+    tree = state.tree()
+
+    for _ in range(warmup):
+        tree, mv = train_step(tree, x, y)
+    float(mv[0])  # host pull: block_until_ready alone does not drain the
+    # remote execution stream on tunneled backends — a dependent scalar
+    # transfer is the only reliable completion barrier.
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tree, mv = train_step(tree, x, y)
+    assert np.isfinite(float(mv[0]))  # forces the full 'steps' chain
+    dt = time.perf_counter() - t0
+
+    n_dev = jax.local_device_count()
+    voxels_per_step = batch * frames * hw * hw
+    pps = (steps * voxels_per_step / VOXELS_PER_PATCH) / dt / n_dev
+    vs = pps / BASELINE_PPS if BASELINE_PPS else 1.0
+    print(json.dumps({
+        "metric": "spff_unet_train_64cube_patches_per_sec_per_chip",
+        "value": round(pps, 3),
+        "unit": "64^3-voxel patches/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,409 @@
+# losses.py — segmentation losses, channel-last (B,D,H,W,C) logits vs (B,D,H,W) labels.
+#
+# TPU-native rebuild of the reference loss zoo:
+#   * ce_plus_macro_dice_loss (reference helpers.py:782-803) — the default.
+#     The macro-dice term there is computed from argmax with `.item()` host
+#     pulls, so it is NON-differentiable: gradient flows only through CE
+#     (SURVEY.md §8 quirk #1). We reproduce that exactly on-device via argmax
+#     (which has no gradient), behind `soft_dice` for the opt-in fix.
+#   * soft_dice_loss_from_logits / dice_ce_loss (reference models.py:254-290,
+#     squared-denominator form, eps=1e-5).
+#   * dice_per_class_from_logits / dice_ce_loss_with_metrics
+#     (models.py:231-252, 292-302; plain denominator, eps=1e-6).
+#   * r2u dice-only loss with empty-foreground sample skipping
+#     (models.py:1206-1270), rewritten branch-free for jit.
+#   * per-sample dice + CE used by UNETR/SwinUNETR (models.py:906-928).
+#   * weighted softmax CE + optional dice for the Cicek recipe
+#     (models.py:779-817).
+#   * focal_plus_gradient_loss (helpers.py:865-910).
+#
+# All functions are pure and jit/vmap/pjit-compatible: no data-dependent
+# python control flow, no host syncs.
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import NUM_CLASSES, IGNORE_INDEX
+
+
+def _valid_mask(labels: jnp.ndarray, ignore_index: Optional[int]) -> jnp.ndarray:
+    if ignore_index is None:
+        return jnp.ones(labels.shape, dtype=bool)
+    return labels != ignore_index
+
+
+def _safe_labels(labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(valid, labels, 0).astype(jnp.int32)
+
+
+def _one_hot_last(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+
+
+def cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    class_weights: Optional[jnp.ndarray] = None,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Softmax CE matching torch.nn.functional.cross_entropy semantics.
+
+    reduction="mean" divides by the number of valid voxels (for unweighted CE)
+    or by the sum of class weights over valid voxels (torch weighted-CE mean).
+    """
+    valid = _valid_mask(labels, ignore_index)
+    safe = _safe_labels(labels, valid)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        w = class_weights.astype(jnp.float32)[safe]
+        nll = nll * w
+        denom = jnp.sum(w * valid)
+    else:
+        denom = jnp.sum(valid)
+    nll = nll * valid
+    if reduction == "none":
+        return nll
+    return jnp.sum(nll) / jnp.maximum(denom, 1.0)
+
+
+def hard_macro_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    smooth: float = 1e-6,
+) -> jnp.ndarray:
+    """1 - mean foreground dice computed from ARGMAX predictions.
+
+    Bit-matches reference helpers.py:782-795: masked tp/fp/fn, smooth in both
+    numerator and denominator, plain mean over classes 1..C-1 (no NaN rules).
+    Non-differentiable by construction (argmax).
+    """
+    preds = jnp.argmax(logits, axis=-1)
+    mask = _valid_mask(labels, ignore_index)
+    cls = jnp.arange(1, num_classes)
+    pred_c = (preds[..., None] == cls) & mask[..., None]
+    label_c = (labels[..., None] == cls) & mask[..., None]
+    axes = tuple(range(labels.ndim))
+    tp = jnp.sum(pred_c & label_c, axis=axes).astype(jnp.float32)
+    fp = jnp.sum(pred_c & ~label_c, axis=axes).astype(jnp.float32)
+    fn = jnp.sum(~pred_c & label_c, axis=axes).astype(jnp.float32)
+    dice = (2.0 * tp + smooth) / (2.0 * tp + fp + fn + smooth)
+    return 1.0 - jnp.mean(dice)
+
+
+def soft_macro_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Differentiable replacement for the hard dice term (opt-in via
+    SPCCT_SOFT_DICE=1; mirrors reference models.py:254-275)."""
+    return soft_dice_loss_from_logits(logits, labels, num_classes, ignore_index, False, eps)
+
+
+def ce_plus_macro_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    smooth: float = 1e-6,
+    soft_dice: bool = False,
+) -> jnp.ndarray:
+    """Default training loss (reference helpers.py:797-803): CE + 0.5 * dice
+    term. With soft_dice=False the dice term carries no gradient (reference
+    behavior, quirk #1); we route it through stop_gradient for clarity even
+    though argmax already blocks gradients."""
+    ce = cross_entropy(logits, labels, ignore_index)
+    if soft_dice:
+        dice = soft_macro_dice_loss(logits, labels, num_classes, ignore_index)
+    else:
+        dice = jax.lax.stop_gradient(
+            hard_macro_dice_loss(logits, labels, num_classes, ignore_index, smooth)
+        )
+    return ce + 0.5 * dice
+
+
+def dice_per_class_from_logits(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    include_bg: bool = False,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Soft per-class dice aggregated over the whole batch
+    (reference models.py:231-252; plain denominator p.sum + y.sum)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    valid = _valid_mask(labels, ignore_index)
+    probs = probs * valid[..., None]
+    y = _one_hot_last(_safe_labels(labels, valid), num_classes) * valid[..., None]
+    axes = tuple(range(labels.ndim))  # all but the class axis
+    inter = jnp.sum(probs * y, axis=axes)
+    denom = jnp.sum(probs, axis=axes) + jnp.sum(y, axis=axes)
+    dice = (2.0 * inter + eps) / (denom + eps)
+    if not include_bg and num_classes > 1:
+        dice = dice[1:]
+    return dice
+
+
+def soft_dice_loss_from_logits(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = -1,
+    include_background: bool = False,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Squared-denominator soft dice (reference models.py:254-275)."""
+    valid = _valid_mask(labels, ignore_index)
+    vm = valid[..., None].astype(jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * vm
+    target = _one_hot_last(_safe_labels(labels, valid), num_classes) * vm
+    if not include_background and num_classes > 1:
+        probs = probs[..., 1:]
+        target = target[..., 1:]
+    axes = tuple(range(labels.ndim))
+    inter = jnp.sum(probs * target, axis=axes)
+    den = jnp.sum(probs * probs, axis=axes) + jnp.sum(target * target, axis=axes)
+    dice = (2.0 * inter + eps) / (den + eps)
+    return 1.0 - jnp.mean(dice)
+
+
+def dice_ce_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = -1,
+    ce_weight: float = 1.0,
+    dice_weight: float = 1.0,
+    include_background: bool = False,
+) -> jnp.ndarray:
+    """nnU-Net-style CE + squared-denominator dice (reference models.py:277-290,
+    exposed in LOSS_REGISTRY as 'dice_ce_nnunet')."""
+    ce = cross_entropy(logits, labels, ignore_index)
+    dice = soft_dice_loss_from_logits(
+        logits, labels, num_classes, ignore_index, include_background
+    )
+    return ce_weight * ce + dice_weight * dice
+
+
+def dice_ce_loss_with_metrics(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    include_bg_in_dice: bool = False,
+    ce_weight: float = 1.0,
+    dice_weight: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ResUNet++ recipe (reference models.py:292-302): returns
+    (loss, mean soft dice, ce)."""
+    dice_vec = dice_per_class_from_logits(
+        logits, labels, num_classes, ignore_index, include_bg_in_dice
+    )
+    dice_loss = 1.0 - jnp.mean(dice_vec)
+    ce = cross_entropy(logits, labels, ignore_index)
+    return dice_weight * dice_loss + ce_weight * ce, jnp.mean(dice_vec), ce
+
+
+def per_sample_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    include_bg: bool = False,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """UNETR/SwinUNETR dice (reference models.py:906-920, 1038-1053):
+    per-(sample, class) dice over spatial dims, plain denominator, mean."""
+    valid = _valid_mask(labels, ignore_index)
+    vm = valid[..., None].astype(jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * vm
+    onehot = _one_hot_last(_safe_labels(labels, valid), num_classes)
+    start = 0 if include_bg else 1
+    if start >= num_classes:
+        return jnp.asarray(0.0, jnp.float32)
+    p, g = probs[..., start:], onehot[..., start:]
+    axes = tuple(range(1, labels.ndim))  # spatial dims, keep (B, C)
+    inter = jnp.sum(p * g, axis=axes)
+    den = jnp.sum(p, axis=axes) + jnp.sum(g, axis=axes) + eps
+    dice = jnp.mean(2.0 * inter / den)
+    return 1.0 - dice
+
+
+def transformer_dice_ce_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    ce_weight: float = 0.5,
+    include_bg_in_dice: bool = False,
+    use_ce: bool = True,
+) -> jnp.ndarray:
+    """(1-w)*dice + w*ce blend used by UNETR/SwinUNETR (models.py:922-928)."""
+    dice = per_sample_dice_loss(logits, labels, num_classes, ignore_index, include_bg_in_dice)
+    if not use_ce:
+        return dice
+    ce = cross_entropy(logits, labels, ignore_index)
+    return (1.0 - ce_weight) * dice + ce_weight * ce
+
+
+def r2u_dice_only_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """R2U-Net dice-only loss with empty-foreground sample skipping
+    (reference models.py:1206-1270, multi-class softmax branch), rewritten
+    branch-free: samples with no foreground get weight 0; if the whole batch
+    is empty-FG, loss = 0 with no gradient (matches reference fallback).
+
+    Returns (loss, mean_dice).
+    """
+    num_classes = logits.shape[-1]
+    valid = _valid_mask(labels, ignore_index)
+    vm = valid[..., None].astype(jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * vm
+    y_oh = _one_hot_last(_safe_labels(labels, valid), num_classes) * vm
+    if num_classes <= 1:
+        return jnp.asarray(0.0), jnp.asarray(0.0)
+    p_fg, y_fg = probs[..., 1:], y_oh[..., 1:]
+    spatial = tuple(range(1, labels.ndim))
+    has_fg = (jnp.sum(y_fg, axis=spatial + (labels.ndim,)) > 0).astype(jnp.float32)  # (B,)
+    inter = jnp.sum(p_fg * y_fg, axis=spatial)          # (B, C-1)
+    denom = jnp.sum(p_fg + y_fg, axis=spatial)          # (B, C-1)
+    dice_pc = (2.0 * inter + eps) / (denom + eps)
+    n_fg = jnp.sum(has_fg)
+    dice = jnp.sum(dice_pc * has_fg[:, None]) / jnp.maximum(n_fg * (num_classes - 1), 1.0)
+    dice = jnp.where(n_fg > 0, dice, 0.0)
+    loss = jnp.where(n_fg > 0, 1.0 - dice, 0.0)
+    return loss, dice
+
+
+def weighted_softmax_ce(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    class_weights: Optional[jnp.ndarray] = None,
+    voxel_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Cicek recipe CE (reference models.py:779-799): per-voxel weighted CE
+    normalized by the count of valid voxels (NOT by the weight sum — the
+    reference uses reduction='none' plus a custom denominator)."""
+    valid = _valid_mask(labels, ignore_index).astype(jnp.float32)
+    safe = _safe_labels(labels, valid > 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        nll = nll * class_weights.astype(jnp.float32)[safe]
+    nll = nll * valid
+    if voxel_weights is not None:
+        vw = voxel_weights.astype(jnp.float32)
+        nll = nll * vw
+        denom = jnp.maximum(jnp.sum(valid * vw), 1.0)
+    else:
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(nll) / denom
+
+
+def cicek_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    include_bg: bool = False,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Optional dice term of the Cicek recipe (reference models.py:801-817):
+    per-(sample,class), denominator carries eps inside (den + eps happens
+    before the division)."""
+    num_classes = logits.shape[-1]
+    valid = _valid_mask(labels, ignore_index)
+    vm = valid[..., None].astype(jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * vm
+    onehot = _one_hot_last(_safe_labels(labels, valid), num_classes) * vm
+    spatial = tuple(range(1, labels.ndim))
+    inter = jnp.sum(probs * onehot, axis=spatial)
+    den = jnp.sum(probs, axis=spatial) + jnp.sum(onehot, axis=spatial) + eps
+    dice_pc = 2.0 * inter / den
+    if not include_bg and num_classes > 1:
+        dice_pc = dice_pc[:, 1:]
+    return 1.0 - jnp.mean(dice_pc)
+
+
+def _spatial_grad_3d(x: jnp.ndarray) -> jnp.ndarray:
+    """Anisotropic TV-like gradient magnitude on (B,D,H,W,C): |x - shift(x)|
+    along W, H, D with edge replication (reference helpers.py:850-863)."""
+
+    def shift(a, axis):
+        # replicate-pad one element at the END of `axis`, then drop the first
+        # (matches F.pad(...,[0,...,1]) + subtraction in the reference)
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, 1)
+        padded = jnp.pad(a, pads, mode="edge")
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(1, None)
+        return padded[tuple(idx)]
+
+    gw = jnp.abs(x - shift(x, 3))
+    gh = jnp.abs(x - shift(x, 2))
+    gd = jnp.abs(x - shift(x, 1))
+    return gw + gh + gd
+
+
+def focal_plus_gradient_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+    alpha: Optional[float] = None,
+    gamma: float = 2.0,
+    grad_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Focal CE + L1 between TV-gradients of probs vs one-hot GT
+    (reference helpers.py:865-910, 'PCCT MD-UNet'-style)."""
+    valid = _valid_mask(labels, ignore_index)
+    vmf = valid.astype(jnp.float32)
+    safe = _safe_labels(labels, valid)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    pt = jnp.exp(-ce)
+    focal_term = (1.0 - pt) ** gamma
+    if alpha is not None:
+        alpha_vec = jnp.full((num_classes,), float(alpha), jnp.float32)
+        alpha_vec = alpha_vec.at[0].set(1.0 - float(alpha))
+        aw = alpha_vec[jnp.clip(labels, 0, num_classes - 1)]
+        focal_ce = jnp.sum(aw * focal_term * ce * vmf) / jnp.maximum(jnp.sum(vmf), 1.0)
+    else:
+        focal_ce = jnp.sum(focal_term * ce * vmf) / jnp.maximum(jnp.sum(vmf), 1.0)
+
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = _one_hot_last(safe, num_classes) * vmf[..., None]
+    vm = vmf[..., None]
+    gp = _spatial_grad_3d(probs) * vm
+    gt = _spatial_grad_3d(onehot) * vm
+    grad_err = jnp.mean(jnp.abs(gp - gt))
+    return focal_ce + grad_weight * grad_err
+
+
+# Registry mirroring reference helpers.py:952-962.
+LOSS_REGISTRY = {
+    "ce_plus_macro_dice": lambda logits, labels, nc, ignore_index: ce_plus_macro_dice_loss(
+        logits, labels, nc, ignore_index=ignore_index
+    ),
+    "focal_plus_gradient": lambda logits, labels, nc, ignore_index: focal_plus_gradient_loss(
+        logits, labels, nc, ignore_index=ignore_index
+    ),
+    "dice_ce_nnunet": lambda logits, labels, nc, ignore_index: dice_ce_loss(
+        logits, labels, nc, ignore_index=ignore_index
+    ),
+}

@@ -1,0 +1,359 @@
+# layers.py — reusable 3D blocks, channels-last (B, D, H, W, C), flax.linen.
+#
+# TPU-native rebuilds of the reference block zoo (innovative3D/models.py:
+# 168-190 norm/act factory, 305-461 blocks, 600-645 SPCT gates,
+# 1121-1149 recurrent blocks, 1295-1308 residual unit). Design notes:
+#   * channels-last so XLA tiles convs onto the MXU without transposes;
+#   * norms compute in float32 regardless of the activation dtype (bf16-safe);
+#   * parameters are initialized with torch-default distributions
+#     (kaiming_uniform(a=sqrt(5)) + uniform bias) for training-dynamics parity.
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.init import torch_conv_kernel_init, torch_bias_init
+
+Dtype = Any
+
+
+def act_fn(kind: str = "lrelu") -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation factory (reference models.py:175-181)."""
+    k = (kind or "lrelu").lower()
+    if k.startswith("lrel"):
+        return lambda x: nn.leaky_relu(x, negative_slope=1e-2)
+    if k.startswith("relu"):
+        return nn.relu
+    return nn.gelu
+
+
+class Conv3d(nn.Module):
+    """torch.nn.Conv3d equivalent: channels-last lax conv with torch init."""
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = None          # None → torch-style symmetric = k//2
+    dilation: Tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.padding is None:
+            pad = [(d * (k // 2), d * (k // 2)) for k, d in zip(self.kernel_size, self.dilation)]
+        else:
+            pad = self.padding
+        cin = x.shape[-1]
+        fan_in = cin * math.prod(self.kernel_size)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            kernel_dilation=self.dilation,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ConvTranspose3d(nn.Module):
+    """torch.nn.ConvTranspose3d(k, stride=k) equivalent (exact when k == s)."""
+    features: int
+    kernel_size: Tuple[int, int, int] = (2, 2, 2)
+    strides: Tuple[int, int, int] = (2, 2, 2)
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        fan_in = cin * math.prod(self.kernel_size)
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class Norm3d(nn.Module):
+    """Norm factory (reference models.py:168-173): instance/batch/group/none.
+
+    Instance norm == GroupNorm(group_size=1) over (D,H,W) per sample/channel,
+    affine, eps 1e-5 — matching torch InstanceNorm3d(affine=True).
+    BatchNorm matches torch momentum 0.1 (flax momentum = 0.9).
+    """
+    kind: str = "instance"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = (self.kind or "instance").lower()
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        if k.startswith("inst"):
+            c = x.shape[-1]
+            y = nn.GroupNorm(num_groups=c, epsilon=1e-5, dtype=jnp.float32)(x32)
+        elif k.startswith("batch"):
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
+            )(x32)
+        elif k.startswith("group"):
+            c = x.shape[-1]
+            y = nn.GroupNorm(num_groups=max(1, c // 8), epsilon=1e-5, dtype=jnp.float32)(x32)
+        else:
+            y = x32
+        return y.astype(orig_dtype)
+
+
+class ConvNormAct3d(nn.Module):
+    """Conv → Norm → Act (reference ConvBNAct3d, models.py:183-190)."""
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = None
+    dilation: Tuple[int, int, int] = (1, 1, 1)
+    norm: str = "instance"
+    act: str = "lrelu"
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = Conv3d(self.features, self.kernel_size, self.strides, self.padding,
+                   self.dilation, self.use_bias, dtype=self.dtype)(x)
+        x = Norm3d(self.norm, dtype=self.dtype)(x, train=train)
+        return act_fn(self.act)(x)
+
+
+def max_pool_3d(x: jnp.ndarray, window: Tuple[int, int, int]) -> jnp.ndarray:
+    """torch MaxPool3d(window) equivalent (stride = window, no padding)."""
+    return nn.max_pool(x, window_shape=window, strides=window)
+
+
+def global_avg_pool(x: jnp.ndarray, axes: Sequence[int], keepdims: bool = True) -> jnp.ndarray:
+    return jnp.mean(x.astype(jnp.float32), axis=tuple(axes), keepdims=keepdims).astype(x.dtype)
+
+
+class SEChannelLite(nn.Module):
+    """Channel squeeze-excite, hidden = max(4, c//r) (reference models.py:600-609)."""
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = max(4, c // self.reduction)
+        s = global_avg_pool(x, (1, 2, 3))            # (B,1,1,1,C)
+        s = Conv3d(h, (1, 1, 1), dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = Conv3d(c, (1, 1, 1), dtype=self.dtype)(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class SE3D(nn.Module):
+    """SE with hidden = max(1, c//r) (reference models.py:407-419)."""
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = max(1, c // self.reduction)
+        s = global_avg_pool(x, (1, 2, 3))
+        s = Conv3d(h, (1, 1, 1), dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = Conv3d(c, (1, 1, 1), dtype=self.dtype)(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class SEBlock3D(nn.Module):
+    """Bias-free SE (reference models.py:338-350)."""
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = max(1, c // self.reduction)
+        s = global_avg_pool(x, (1, 2, 3))
+        s = Conv3d(h, (1, 1, 1), use_bias=False, dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = Conv3d(c, (1, 1, 1), use_bias=False, dtype=self.dtype)(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class SpectralSE(nn.Module):
+    """Parameter-free per-depth gate: x * sigmoid(mean over C,H,W)
+    (reference models.py:611-614)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = jnp.mean(x.astype(jnp.float32), axis=(2, 3, 4), keepdims=True)  # (B,D,1,1,1)
+        return x * jax.nn.sigmoid(w).astype(x.dtype)
+
+
+class SpectralGate(nn.Module):
+    """Gating along the spectral axis via (3,1,1) convs on pooled stats
+    (reference models.py:352-364)."""
+    hidden: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = max(4, min(self.hidden, c))
+        s = jnp.mean(x.astype(jnp.float32), axis=(2, 3), keepdims=True).astype(x.dtype)  # (B,D,1,1,C)
+        s = Conv3d(h, (3, 1, 1), dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = Conv3d(c, (3, 1, 1), dtype=self.dtype)(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class SpatialAttention3D(nn.Module):
+    """CBAM-style spatial attention (reference models.py:434-446)."""
+    kernel_size: Tuple[int, int, int] = (3, 7, 7)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        a = jnp.concatenate([avg, mx], axis=-1)
+        a = Conv3d(1, self.kernel_size, use_bias=False, dtype=self.dtype)(a)
+        return x * jax.nn.sigmoid(a)
+
+
+class AttentionGate(nn.Module):
+    """3D additive attention gate on skip connections
+    (reference models.py:627-645). Returns gated skip."""
+    inter_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_skip: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+        f_int = self.inter_channels
+        if f_int is None:
+            f_int = min(x_skip.shape[-1], g.shape[-1])
+        f_int = max(1, int(f_int))
+        ax = Conv3d(f_int, (1, 1, 1), dtype=self.dtype)(x_skip)
+        ag = Conv3d(f_int, (1, 1, 1), dtype=self.dtype)(g)
+        att = nn.relu(ax + ag)
+        att = Conv3d(1, (1, 1, 1), dtype=self.dtype)(att)
+        return x_skip * jax.nn.sigmoid(att)
+
+
+class ResidualConvBlock3D(nn.Module):
+    """conv-relu-conv + 1x1 skip, relu after add (reference models.py:307-321)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        identity = x if x.shape[-1] == self.features else Conv3d(
+            self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(x)
+        out = nn.relu(Conv3d(self.features, use_bias=False, dtype=self.dtype)(x))
+        out = Conv3d(self.features, use_bias=False, dtype=self.dtype)(out)
+        return nn.relu(out + identity)
+
+
+class ASPP3D(nn.Module):
+    """Atrous pyramid, dilations (1,2,4,8) + 1x1 projection
+    (reference models.py:323-336)."""
+    features: int
+    dilations: Tuple[int, ...] = (1, 2, 4, 8)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feats = [
+            Conv3d(self.features, (3, 3, 3), dilation=(d, d, d), use_bias=False,
+                   dtype=self.dtype)(x)
+            for d in self.dilations
+        ]
+        y = jnp.concatenate(feats, axis=-1)
+        y = Conv3d(self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(y)
+        return nn.relu(y)
+
+
+class DoubleConv3D(nn.Module):
+    """(conv-BN-relu) x2 (reference models.py:421-432)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for _ in range(2):
+            x = Conv3d(self.features, use_bias=False, dtype=self.dtype)(x)
+            x = Norm3d("batch", dtype=self.dtype)(x, train=train)
+            x = nn.relu(x)
+        return x
+
+
+class ResidualUnit3D(nn.Module):
+    """conv-IN-relu-conv-IN + 1x1 skip, relu after add
+    (reference models.py:1295-1308)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = x if x.shape[-1] == self.features else Conv3d(
+            self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = Conv3d(self.features, use_bias=False, dtype=self.dtype)(x)
+        y = Norm3d("instance", dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = Conv3d(self.features, use_bias=False, dtype=self.dtype)(y)
+        y = Norm3d("instance", dtype=self.dtype)(y)
+        return nn.relu(y + s)
+
+
+class RecurrentUnit3D(nn.Module):
+    """Weight-shared recurrent conv unit, t steps (reference models.py:1121-1135).
+
+    The reference's loop is `out = act(IN(conv(out + h))); h = out` with
+    h0 = 0 — a fixed-depth unrolled scan sharing conv/norm parameters.
+    """
+    features: int
+    t: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = Conv3d(self.features, use_bias=False, dtype=self.dtype)
+        norm = Norm3d("instance", dtype=self.dtype)
+        h = jnp.zeros_like(x)
+        out = x
+        for _ in range(self.t):
+            out = nn.relu(norm(conv(out + h)))
+            h = out
+        return out
+
+
+class RRCNNBlock3D(nn.Module):
+    """1x1 lift → recurrent unit → 1x1 project + residual, IN+relu
+    (reference models.py:1137-1149)."""
+    features: int
+    t: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x1 = Conv3d(self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = RecurrentUnit3D(self.features, self.t, dtype=self.dtype)(x1)
+        y = Conv3d(self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = Norm3d("instance", dtype=self.dtype)(x1 + y)
+        return nn.relu(y)

@@ -1,0 +1,199 @@
+# spff.py — SPFF-UNet spectral core and ablation variants, channels-last.
+#
+# TPU-native rebuild of the reference's novel stack
+# (innovative3D/models.py:611-701 core, 1416-1544 novel blocks, 1547-1607
+# Lightning variants). Design notes vs the reference:
+#   * FourierGate's frequency mask is a statically-shaped parameter declared at
+#     init from the known spectral depth (the reference lazily registers it
+#     inside forward — models.py:1532-1535, SURVEY.md §8 quirk #5). F=5 is a
+#     config constant so L = F//2+1 is compile-time static.
+#   * The reference's `upgrade_spct_with_novel_blocks` performs module surgery
+#     (walk + replace _DoubleConvSpectral); here the novel path is a
+#     constructor flag on the block — structurally identical network
+#     (pre-conv → body-conv → EnergyFiLM → FourierGate per models.py:1473-1478).
+#   * Depth axis (spectral bins, F=5) is never pooled: all pool/upsample are
+#     (1,2,2), mirroring models.py:658-673.
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.resize import trilinear_resize
+from .layers import (
+    AttentionGate,
+    Conv3d,
+    ConvTranspose3d,
+    Norm3d,
+    SEChannelLite,
+    SpatialAttention3D,
+    SpectralSE,
+    act_fn,
+    max_pool_3d,
+)
+
+Dtype = Any
+
+
+def sinusoidal_pe(num_frames: int, dims: int) -> np.ndarray:
+    """Transformer-style sinusoidal code over the spectral axis, shape
+    (dims, F) (reference models.py:1494-1503, including the zero-pad row when
+    dims is odd)."""
+    pos = np.arange(num_frames, dtype=np.float32)[None, :]            # (1, F)
+    half = max(1, dims // 2)
+    i = np.arange(half, dtype=np.float32)[:, None]                     # (half, 1)
+    denom = np.exp(i * (-math.log(10000.0) / half))
+    pe = np.concatenate([np.sin(pos * denom), np.cos(pos * denom)], axis=0)
+    if pe.shape[0] < dims:
+        pe = np.concatenate([pe, np.zeros((dims - pe.shape[0], num_frames), np.float32)], axis=0)
+    return pe  # (dims, F)
+
+
+class EnergyFiLM3D(nn.Module):
+    """Per-energy FiLM: sinusoidal PE over F → tiny MLP → (γ, β) per
+    (channel, energy); y = x * (1 + tanh γ) + β broadcast over H, W
+    (reference models.py:1479-1512)."""
+    channels: int
+    hidden: int = 32
+    pe_dims: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, F = x.shape[0], x.shape[1]
+        pe = jnp.asarray(sinusoidal_pe(F, self.pe_dims).T)             # (F, pe_dims)
+        # Conv1d(kernel=1) over the frame axis == Dense applied per frame.
+        h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32)(pe)
+        h = nn.relu(h)
+        gb = nn.Dense(2 * self.channels, dtype=self.dtype, param_dtype=jnp.float32)(h)  # (F, 2C)
+        gamma = jnp.tanh(gb[:, : self.channels])
+        beta = gb[:, self.channels:]
+        gamma = gamma[None, :, None, None, :].astype(x.dtype)          # (1,F,1,1,C)
+        beta = beta[None, :, None, None, :].astype(x.dtype)
+        return x * (1.0 + gamma) + beta
+
+
+class FourierGate3D(nn.Module):
+    """Frequency-domain gate over the spectral axis (reference
+    models.py:1515-1544): mean over (C,H,W) → rFFT along F → learnable
+    magnitude mask × scalar → irFFT → sigmoid gate. Mask shape (F//2+1,) is
+    static (quirk #5 fixed)."""
+    num_frames: int
+    learn_phase: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        F = x.shape[1]
+        L = F // 2 + 1
+        mag_scale = self.param("mag_scale", nn.initializers.ones, (1,), jnp.float32)
+        freq_mask = self.param("freq_mask", nn.initializers.ones, (L,), jnp.float32)
+        s = jnp.mean(x.astype(jnp.float32), axis=(2, 3, 4))            # (B, F)
+        sf = jnp.fft.rfft(s, axis=1)                                   # (B, L) complex
+        m = freq_mask * mag_scale
+        if self.learn_phase:
+            sf = sf * (m + 1j * 0.01)
+        else:
+            sf = sf * m
+        w = jnp.fft.irfft(sf, n=F, axis=1)                             # (B, F)
+        w = jax.nn.sigmoid(w).astype(x.dtype)
+        return x * w[:, :, None, None, None]
+
+
+class DoubleConvSpectral(nn.Module):
+    """Two (ksd,3,3) conv-IN-lrelu blocks, optionally upgraded with
+    EnergyFiLM + FourierGate (reference models.py:620-625 plain form;
+    models.py:1448-1478 novel form — pre → body → EFiLM → FGate)."""
+    features: int
+    ksd: int = 1
+    norm: str = "instance"
+    act: str = "lrelu"
+    use_efilm: bool = False
+    use_fouriergate: bool = False
+    num_frames: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = (self.ksd, 3, 3)
+        pad = [(self.ksd // 2, self.ksd // 2), (1, 1), (1, 1)]
+        a = act_fn(self.act)
+        x = Conv3d(self.features, k, padding=pad, use_bias=False, dtype=self.dtype)(x)
+        x = a(Norm3d(self.norm, dtype=self.dtype)(x, train=train))
+        x = Conv3d(self.features, k, padding=pad, use_bias=False, dtype=self.dtype)(x)
+        x = a(Norm3d(self.norm, dtype=self.dtype)(x, train=train))
+        if self.use_efilm:
+            x = EnergyFiLM3D(self.features, dtype=self.dtype)(x)
+        if self.use_fouriergate:
+            x = FourierGate3D(self.num_frames)(x)
+        return x
+
+
+class UNet3DSpectralCore(nn.Module):
+    """Depth-preserving spectral UNet (reference models.py:647-701).
+
+    Encoder f→2f→4f, bottleneck 8f; pooling/upsampling only in (H, W) via
+    (1,2,2); per-stage optional Channel-SE / Spectral-SE / SpatialAttention /
+    gated skips; trilinear-align-then-concat skips; 1x1x1 output head.
+    """
+    num_classes: int
+    base: int = 32
+    ksd: int = 3
+    use_se: bool = False
+    use_specse: bool = False
+    use_spatial: bool = False
+    use_skip_gate: bool = False
+    use_efilm: bool = False
+    use_fouriergate: bool = False
+    norm: str = "instance"
+    act: str = "lrelu"
+    num_frames: int = 5
+    dtype: Dtype = jnp.float32
+
+    def _post(self, x, stage):
+        # order matches reference models.py:684-685: SpecSE → SE → SpatialAttn
+        if self.use_specse:
+            x = SpectralSE(name=f"specse{stage}")(x)
+        if self.use_se:
+            x = SEChannelLite(name=f"se{stage}", dtype=self.dtype)(x)
+        if self.use_spatial:
+            x = SpatialAttention3D(name=f"sa{stage}", dtype=self.dtype)(x)
+        return x
+
+    @staticmethod
+    def _cat(up, skip):
+        if up.shape[1:4] != skip.shape[1:4]:
+            up = trilinear_resize(up, skip.shape[1:4])
+        return jnp.concatenate([up, skip], axis=-1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        f = self.base
+        P = (1, 2, 2)
+        dcs = dict(
+            ksd=self.ksd, norm=self.norm, act=self.act, use_efilm=self.use_efilm,
+            use_fouriergate=self.use_fouriergate, num_frames=self.num_frames,
+            dtype=self.dtype,
+        )
+        e1 = self._post(DoubleConvSpectral(f, name="enc1", **dcs)(x, train), 0)
+        e2 = self._post(DoubleConvSpectral(2 * f, name="enc2", **dcs)(max_pool_3d(e1, P), train), 1)
+        e3 = self._post(DoubleConvSpectral(4 * f, name="enc3", **dcs)(max_pool_3d(e2, P), train), 2)
+        b = self._post(DoubleConvSpectral(8 * f, name="bott", **dcs)(max_pool_3d(e3, P), train), 3)
+
+        d3 = ConvTranspose3d(4 * f, (1, 2, 2), (1, 2, 2), name="up3", dtype=self.dtype)(b)
+        s3 = AttentionGate(2 * f, name="g3", dtype=self.dtype)(e3, d3) if self.use_skip_gate else e3
+        d3 = DoubleConvSpectral(4 * f, name="dec3", **dcs)(self._cat(d3, s3), train)
+
+        d2 = ConvTranspose3d(2 * f, (1, 2, 2), (1, 2, 2), name="up2", dtype=self.dtype)(d3)
+        s2 = AttentionGate(f, name="g2", dtype=self.dtype)(e2, d2) if self.use_skip_gate else e2
+        d2 = DoubleConvSpectral(2 * f, name="dec2", **dcs)(self._cat(d2, s2), train)
+
+        d1 = ConvTranspose3d(f, (1, 2, 2), (1, 2, 2), name="up1", dtype=self.dtype)(d2)
+        s1 = AttentionGate(f // 2, name="g1", dtype=self.dtype)(e1, d1) if self.use_skip_gate else e1
+        d1 = DoubleConvSpectral(f, name="dec1", **dcs)(self._cat(d1, s1), train)
+
+        out = Conv3d(self.num_classes, (1, 1, 1), name="out", dtype=self.dtype)(d1)
+        return out.astype(jnp.float32)

@@ -1,0 +1,378 @@
+# driver.py — per-(variant, seed) training orchestration.
+#
+# Rebuild of reference train_and_log (train.py:1398-1583): seed, build
+# datamodule + model, fit with early stopping on val_macro_dice (patience 12,
+# min_delta 1e-3), last+best checkpoints, auto-resume, then the custom
+# evaluation pass writing test_metrics.csv / test_details.csv / summary.csv,
+# returning the test macro dice. The FAST_* env contract matches
+# train.py:105-157.
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    BATCH_SIZE,
+    FINAL_EPOCHS,
+    LOG_DIR,
+    NUM_CLASSES,
+    NUM_FRAMES,
+    CHECKPOINT_DIR,
+    ensure_dirs,
+    trainval_sets,
+)
+from ..data.pipeline import SpcctDataModule3D
+from ..metrics import MetricAccum, metric_names, metrics_from_counts, confusion_counts
+from ..models.recipes import Recipe, get_recipe
+from ..parallel.mesh import make_mesh, pad_batch_to_mesh, shard_batch
+from .checkpoint import CheckpointManager, seed_dir
+from .logging_csv import MetricsCSV, append_row_csv
+from .loop import (
+    EarlyStopping,
+    PlateauScheduler,
+    TrainState,
+    create_state,
+    get_learning_rate,
+    make_steps,
+    param_count,
+    set_learning_rate,
+)
+
+# FAST-mode env contract (reference train.py:105-157)
+FAST_TEST = os.getenv("FAST_TEST", "0") == "1"
+FAST_TEST_LIMIT = int(os.getenv("FAST_TEST_LIMIT", "2"))
+FAST_SKIP_VIZ = os.getenv("FAST_SKIP_VIZ", "1" if FAST_TEST else "0") == "1"
+FAST_SKIP_TEST_DETAILS = os.getenv("FAST_SKIP_TEST_DETAILS", "0") == "1"
+FAST_SIMPLE_METRICS = os.getenv("FAST_SIMPLE_METRICS", "1" if FAST_TEST else "0") == "1"
+VIZ_EVERY = int(os.getenv("VIZ_EVERY", "20"))
+SKIP_VIZ = os.getenv("SKIP_VIZ", "0") == "1"
+
+
+def _accum_to_dict(prefix: str, acc: MetricAccum) -> Dict[str, float]:
+    vals = np.asarray(acc.result())
+    return dict(zip(metric_names(prefix, NUM_CLASSES), [float(v) for v in vals]))
+
+
+def fit(
+    variant: str,
+    seed: int,
+    max_epochs: Optional[int] = None,
+    dm: Optional[SpcctDataModule3D] = None,
+    mesh=None,
+    batch_size: Optional[int] = None,
+    log_root=None,
+    ckpt_root=None,
+    run_test: bool = True,
+    viz_hook=None,
+) -> Dict[str, float]:
+    """Train one (variant, seed); returns the final test metrics dict
+    (incl. 'test_macro_dice')."""
+    ensure_dirs()
+    recipe = get_recipe(variant)
+    max_epochs = int(max_epochs if max_epochs is not None else
+                     os.getenv("SPCCT_MAX_EPOCHS", FINAL_EPOCHS))
+    log_root = Path(log_root or LOG_DIR) / variant / f"seed{seed}"
+    ckpt_root = Path(ckpt_root or CHECKPOINT_DIR)
+    sdir = seed_dir(ckpt_root, variant, seed)
+    logs = MetricsCSV(log_root / "logs")
+
+    # seed everything (reference train.py:1408 seed_everything(seed))
+    np.random.seed(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    if dm is None:
+        dm = SpcctDataModule3D(trainval_sets, batch_size=batch_size or BATCH_SIZE,
+                               num_frames=NUM_FRAMES)
+    dm.setup("fit")
+    n_train = len(dm.train_set)
+    steps_per_epoch = max(1, (n_train + dm.batch_size - 1) // dm.batch_size)
+
+    sample_img = np.asarray(dm.train_set.images[0], np.float32)
+    example = jnp.zeros((dm.batch_size,) + sample_img.shape + (1,), jnp.float32)
+
+    state, optimizer = create_state(recipe, rng, example, steps_per_epoch, max_epochs)
+    n_params = param_count(state.params)
+    (log_root / "logs").mkdir(parents=True, exist_ok=True)
+    (log_root / "model_compute.txt").write_text(
+        f"Model: {variant}\nParams: {n_params/1e6:.3f} M\n"
+    )
+
+    train_step, eval_step = make_steps(recipe, optimizer, mesh=mesh)
+
+    ckpt = CheckpointManager(sdir)
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "batch_stats": state.batch_stats}
+    start_epoch = 0
+    stopper = EarlyStopping(patience=12, min_delta=1e-3, mode="max")
+    plateau = PlateauScheduler(recipe.lr) if recipe.plateau else None
+    best_metric = -np.inf
+
+    resume = ckpt.resume_kind()
+    if resume == "last":
+        tree, meta = ckpt.restore("last", tree)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_metric = float(meta.get("best_metric", -np.inf))
+        if plateau is not None and meta.get("lr"):
+            plateau.lr = float(meta["lr"])
+            tree["opt_state"] = set_learning_rate(tree["opt_state"], plateau.lr)
+        print(f"[{variant}/seed{seed}] resumed from last @ epoch {start_epoch}")
+
+    def _put(x, y):
+        if mesh is not None:
+            x, y = pad_batch_to_mesh(x, y, mesh)
+            return shard_batch((x, y), mesh)
+        return x, y
+
+    n_metrics = len(metric_names("x", NUM_CLASSES))
+    t_run = time.time()
+    stop = False
+    epoch = start_epoch
+    history_rows = 0
+
+    for epoch in range(start_epoch, max_epochs):
+        t0 = time.time()
+        acc = MetricAccum.zeros(n_metrics)
+        nsteps = 0
+        for x, y in dm.train_batches(seed, epoch):
+            x, y = _put(np.asarray(x), np.asarray(y))
+            tree, mv = train_step(tree, x, y)
+            acc = acc.update(mv)
+            nsteps += 1
+        train_metrics = _accum_to_dict("train", acc)
+
+        vacc = MetricAccum.zeros(n_metrics)
+        for x, y in dm.val_batches():
+            x, y = _put(np.asarray(x), np.asarray(y))
+            mv, _ = eval_step(tree, x, y)
+            vacc = vacc.update(mv)
+        val_metrics = _accum_to_dict("val", vacc)
+        val_macro = val_metrics.get("val_macro_dice", float("nan"))
+
+        lr_now = get_learning_rate(tree["opt_state"])
+        dt = time.time() - t0
+        logs.log("train", epoch, {**train_metrics, "lr": lr_now, "epoch_time_s": round(dt, 3)})
+        logs.log("val", epoch, val_metrics)
+        print(f"[{variant}/seed{seed}] epoch {epoch + 1}/{max_epochs} "
+              f"loss={train_metrics.get('train_loss', float('nan')):.4f} "
+              f"val_macro_dice={val_macro:.4f} ({dt:.1f}s, {nsteps} steps)")
+
+        # plateau LR (Adam recipes only)
+        if plateau is not None:
+            new_lr = plateau.update(val_macro)
+            if new_lr is not None:
+                tree["opt_state"] = set_learning_rate(tree["opt_state"], new_lr)
+                print(f"[{variant}/seed{seed}] plateau: lr -> {new_lr:.2e}")
+
+        # checkpoints: last every epoch, best on val_macro_dice max
+        meta = {"epoch": epoch, "val_macro_dice": float(val_macro),
+                "best_metric": float(best_metric),
+                "lr": plateau.lr if plateau else recipe.lr}
+        ckpt.save("last", tree, meta)
+        if np.isfinite(val_macro) and val_macro > best_metric:
+            best_metric = float(val_macro)
+            meta["best_metric"] = best_metric
+            ckpt.save("best", tree, meta)
+
+        if viz_hook is not None and not (SKIP_VIZ or FAST_SKIP_VIZ) and \
+                (epoch % VIZ_EVERY == 0):
+            try:
+                viz_hook(recipe, tree, dm, epoch, log_root)
+            except Exception as e:
+                print(f"[viz] skipped: {e}")
+
+        if stopper.update(val_macro):
+            print(f"[{variant}/seed{seed}] early stop at epoch {epoch + 1}")
+            stop = True
+            break
+
+    print(f"[{variant}/seed{seed}] training done in {time.time() - t_run:.1f}s")
+
+    if not run_test:
+        return {"val_macro_dice": float(best_metric)}
+
+    return evaluate_test(variant, seed, recipe, tree, eval_step, dm,
+                         log_root=log_root, mesh=mesh)
+
+
+def evaluate_test(
+    variant: str,
+    seed: int,
+    recipe: Recipe,
+    tree,
+    eval_step,
+    dm: SpcctDataModule3D,
+    log_root,
+    mesh=None,
+) -> Dict[str, float]:
+    """Custom rank-0 test pass (reference train.py:1520-1560: Lightning
+    .test() deliberately bypassed — quirk #7 — in favor of explicit CSV
+    writers)."""
+    log_root = Path(log_root)
+    dm.setup("test")
+    n_metrics = len(metric_names("x", NUM_CLASSES))
+    acc = MetricAccum.zeros(n_metrics)
+    detail_rows = []
+    slow_stats = None if FAST_SIMPLE_METRICS else _SlowStats(NUM_CLASSES)
+
+    case_idx = 0
+    batches = 0
+    for x, y in dm.test_batches():
+        if FAST_TEST and batches >= FAST_TEST_LIMIT:
+            break
+        xb, yb = np.asarray(x), np.asarray(y)
+        if mesh is not None:
+            xp, yp = pad_batch_to_mesh(xb, yb, mesh)
+            mv, logits = eval_step(tree, *shard_batch((xp, yp), mesh))
+            logits = np.asarray(logits)[: xb.shape[0]]
+        else:
+            mv, logits = eval_step(tree, xb, yb)
+            logits = np.asarray(logits)
+        acc = acc.update(mv)
+        batches += 1
+        # per-case details (reference write_test_details_3d, train.py:263-331)
+        if not FAST_SKIP_TEST_DETAILS:
+            for b in range(xb.shape[0]):
+                counts = np.asarray(confusion_counts(
+                    jnp.asarray(logits[b]), jnp.asarray(yb[b]), NUM_CLASSES))
+                m = metrics_from_counts(counts)
+                for c in range(NUM_CLASSES):
+                    tp, fp, fn, tn = counts[c]
+                    prec = (tp + 1e-6) / (tp + fp + 1e-6) if (tp + fp) > 0 else float("nan")
+                    iou = (tp + 1e-6) / (tp + fp + fn + 1e-6) if (tp + fp + fn) > 0 else float("nan")
+                    detail_rows.append({
+                        "case": case_idx, "class": c,
+                        "tp": int(tp), "fp": int(fp), "fn": int(fn), "tn": int(tn),
+                        "dice": m["dice"][c], "sensitivity": m["sens"][c],
+                        "specificity": m["spec"][c], "precision": prec, "iou": iou,
+                    })
+                case_idx += 1
+        if slow_stats is not None:
+            probs = _softmax_np(logits)
+            for b in range(xb.shape[0]):
+                slow_stats.update(probs[b], yb[b])
+
+    test_metrics = _accum_to_dict("test", acc)
+    row = {"model": variant, "seed": seed, **test_metrics}
+    if slow_stats is not None:
+        row.update(slow_stats.finalize())
+    append_row_csv(log_root / "logs" / "test_metrics.csv", row)
+
+    if detail_rows:
+        import csv
+        dpath = log_root / "test_details.csv"
+        with open(dpath, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(detail_rows[0].keys()))
+            w.writeheader()
+            w.writerows(detail_rows)
+        _write_summary(detail_rows, log_root / "summary.csv")
+
+    return test_metrics
+
+
+def _softmax_np(logits: np.ndarray) -> np.ndarray:
+    z = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _write_summary(detail_rows, path):
+    """summary.csv = mean±std per class over cases
+    (reference write_summary_csv, train.py:333-356)."""
+    import csv
+    from collections import defaultdict
+
+    per_class = defaultdict(lambda: defaultdict(list))
+    metrics = ["dice", "sensitivity", "specificity", "precision", "iou"]
+    for r in detail_rows:
+        for m in metrics:
+            per_class[r["class"]][m].append(r[m])
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["class"] + [f"{m}_{s}" for m in metrics for s in ("mean", "std")])
+        for c in sorted(per_class):
+            row = [c]
+            for m in metrics:
+                v = np.asarray(per_class[c][m], dtype=np.float64)
+                row += [float(np.nanmean(v)) if np.isfinite(v).any() else float("nan"),
+                        float(np.nanstd(v)) if np.isfinite(v).any() else float("nan")]
+            w.writerow(row)
+
+
+class _SlowStats:
+    """Streaming per-class PR-AUC / ROC-AUC / IoU / precision over the test
+    set (reference BaseLitModel test extras, models.py:509-584; sklearn-based).
+    Probabilities are histogrammed per class (1024 bins) so memory stays O(1)
+    while AUCs match sklearn to ~1e-3."""
+
+    BINS = 1024
+
+    def __init__(self, num_classes: int):
+        self.C = num_classes
+        self.pos_hist = np.zeros((num_classes, self.BINS), np.int64)
+        self.neg_hist = np.zeros((num_classes, self.BINS), np.int64)
+        self.tp = np.zeros(num_classes, np.int64)
+        self.fp = np.zeros(num_classes, np.int64)
+        self.fn = np.zeros(num_classes, np.int64)
+
+    def update(self, probs: np.ndarray, labels: np.ndarray):
+        pred = probs.argmax(-1)
+        for c in range(self.C):
+            p = probs[..., c].ravel()
+            t = (labels == c).ravel()
+            idx = np.clip((p * self.BINS).astype(np.int64), 0, self.BINS - 1)
+            self.pos_hist[c] += np.bincount(idx[t], minlength=self.BINS)
+            self.neg_hist[c] += np.bincount(idx[~t], minlength=self.BINS)
+            pc = (pred == c).ravel()
+            self.tp[c] += int(np.sum(pc & t))
+            self.fp[c] += int(np.sum(pc & ~t))
+            self.fn[c] += int(np.sum(~pc & t))
+
+    def _aucs(self, pos, neg):
+        # descending-threshold cumulative counts
+        tp = np.cumsum(pos[::-1])
+        fp = np.cumsum(neg[::-1])
+        P, N = tp[-1], fp[-1]
+        if P == 0 or N == 0:
+            return float("nan"), float("nan")
+        tpr = tp / P
+        fpr = fp / N
+        roc = float(np.trapezoid(tpr, fpr))
+        prec = tp / np.maximum(tp + fp, 1)
+        rec = tpr
+        pr = float(np.trapezoid(prec, rec))
+        return pr, roc
+
+    def finalize(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        prs, rocs, ious, precs = [], [], [], []
+        for c in range(self.C):
+            pr, roc = self._aucs(self.pos_hist[c], self.neg_hist[c])
+            denom_iou = self.tp[c] + self.fp[c] + self.fn[c]
+            iou = self.tp[c] / denom_iou if denom_iou > 0 else float("nan")
+            denom_p = self.tp[c] + self.fp[c]
+            prec = self.tp[c] / denom_p if denom_p > 0 else float("nan")
+            out[f"test_pr_auc_class_{c}"] = pr
+            out[f"test_roc_auc_class_{c}"] = roc
+            out[f"test_iou_class_{c}"] = iou
+            out[f"test_precision_class_{c}"] = prec
+            prs.append(pr); rocs.append(roc); ious.append(iou); precs.append(prec)
+        for name, vals in [("pr_auc", prs), ("roc_auc", rocs), ("iou", ious),
+                           ("precision", precs)]:
+            fg = np.asarray(vals[1:], np.float64)
+            out[f"test_{name}_macro"] = float(np.nanmean(fg)) if np.isfinite(fg).any() else float("nan")
+        # micro over foreground
+        pos = self.pos_hist[1:].sum(0)
+        neg = self.neg_hist[1:].sum(0)
+        pr, roc = self._aucs(pos, neg)
+        tp, fp, fn = self.tp[1:].sum(), self.fp[1:].sum(), self.fn[1:].sum()
+        out["test_pr_auc_micro"] = pr
+        out["test_roc_auc_micro"] = roc
+        out["test_iou_micro"] = float(tp / (tp + fp + fn)) if (tp + fp + fn) > 0 else float("nan")
+        out["test_precision_micro"] = float(tp / (tp + fp)) if (tp + fp) > 0 else float("nan")
+        return out

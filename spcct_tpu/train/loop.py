@@ -1,0 +1,195 @@
+# loop.py — jitted train/eval steps and training state.
+#
+# TPU-native replacement for the reference's Lightning engine
+# (reference train.py:1486-1516 Trainer + innovative3D/models.py _shared_step).
+# One compiled train_step per variant: forward + loss + grads + optimizer +
+# the full metric vector, all on device; the host touches scalars once per
+# epoch (the reference syncs 13x4 counts to host EVERY step —
+# helpers.py:687-690, SURVEY.md §8 quirk #8).
+#
+# Parallelism: with a Mesh, the batch is sharded over the 'data' axis and
+# parameters are replicated; XLA inserts the gradient all-reduce from the
+# sharding annotations (no hand-written collectives — SURVEY.md §2.8).
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+from ..metrics import metric_vector
+from ..models.recipes import Recipe
+from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    batch_stats: Any          # None for models without BatchNorm
+    step: int = 0
+
+    def tree(self):
+        return {"params": self.params, "opt_state": self.opt_state,
+                "batch_stats": self.batch_stats}
+
+
+def create_state(
+    recipe: Recipe,
+    rng: jax.Array,
+    example_input: jnp.ndarray,
+    steps_per_epoch: int,
+    max_epochs: int,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    variables = recipe.init(rng, example_input)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    optimizer = recipe.make_optimizer(steps_per_epoch, max_epochs)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, batch_stats, 0), optimizer
+
+
+def param_count(params) -> int:
+    return int(sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)))
+
+
+def make_steps(
+    recipe: Recipe,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    remat: bool = False,
+):
+    """Build (train_step, eval_step), jit-compiled, optionally mesh-sharded.
+
+    train_step(state_tree, x, y) -> (new_state_tree, metric_vec)
+    eval_step(state_tree, x, y)  -> (metric_vec, logits)
+    """
+    apply_fn = recipe.module.apply
+    if remat:
+        apply_fn = jax.checkpoint(recipe.module.apply)  # remat trades FLOPs for HBM
+    forward = recipe.wrap_forward(apply_fn)
+
+    def train_step(tree, x, y):
+        params, opt_state, batch_stats = tree["params"], tree["opt_state"], tree["batch_stats"]
+        has_bn = batch_stats is not None
+
+        def loss_fn(p):
+            variables = {"params": p}
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+            logits, mut = forward(variables, x, train=True, mutable=has_bn)
+            loss, _aux = recipe.loss(logits, y)
+            return loss, (logits, mut)
+
+        (loss, (logits, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_bs = mut["batch_stats"] if (has_bn and mut) else batch_stats
+        mv = metric_vector(loss, logits, y)
+        return {"params": new_params, "opt_state": new_opt, "batch_stats": new_bs}, mv
+
+    def eval_step(tree, x, y):
+        params, batch_stats = tree["params"], tree["batch_stats"]
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        logits, _ = forward(variables, x, train=False, mutable=False)
+        loss, _aux = recipe.loss(logits, y)
+        return metric_vector(loss, logits, y), logits
+
+    if mesh is not None:
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, bsh, bsh),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(
+            eval_step, in_shardings=(rep, bsh, bsh), out_shardings=(rep, rep)
+        )
+    else:
+        train_step = jax.jit(train_step, donate_argnums=(0,))
+        eval_step = jax.jit(eval_step)
+    return train_step, eval_step
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Mutate the injected learning_rate hyperparam (plateau scheduler hook;
+    reference models.py:591-594 ReduceLROnPlateau)."""
+    if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state._replace(hyperparams=hp)
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> Optional[float]:
+    if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
+        return float(opt_state.hyperparams["learning_rate"])
+    return None
+
+
+class EarlyStopping:
+    """val_macro_dice(max) early stopping, patience 12, min_delta 1e-3
+    (reference train.py:1451-1458)."""
+
+    def __init__(self, patience: int = 12, min_delta: float = 1e-3, mode: str = "max"):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        if value is None or not np.isfinite(value):
+            self.bad_epochs += 1
+            return self.bad_epochs > self.patience
+        improved = (
+            self.best is None
+            or (self.mode == "max" and value > self.best + self.min_delta)
+            or (self.mode == "min" and value < self.best - self.min_delta)
+        )
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+        return self.bad_epochs > self.patience
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau(max, factor 0.5, patience 5) on val_macro_dice
+    (reference models.py:591-594; torch semantics: threshold 1e-4 rel-or-abs?
+    torch default threshold=1e-4 in 'rel' mode w/ mode='max' →
+    value > best*(1+1e-4) counts as improvement)."""
+
+    def __init__(self, lr: float, factor: float = 0.5, patience: int = 5,
+                 threshold: float = 1e-4):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.best: Optional[float] = None
+        self.bad = 0
+
+    def update(self, value: float) -> Optional[float]:
+        """Returns the new lr when it changes, else None."""
+        if value is None or not np.isfinite(value):
+            return None
+        if self.best is None or value > self.best * (1.0 + self.threshold):
+            self.best = value
+            self.bad = 0
+            return None
+        self.bad += 1
+        if self.bad > self.patience:
+            self.bad = 0
+            self.lr = self.lr * self.factor
+            return self.lr
+        return None
