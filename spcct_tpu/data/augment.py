@@ -166,6 +166,63 @@ class TrainGridAug:
         )
 
 
+@dataclass
+class AugmentImageAndLabels:
+    """Legacy full-grid patch-shuffle augmenter (reference helpers.py:43-124):
+    flips/rotate/brightness/noise, then all F*g^2 patches shuffled JOINTLY
+    across frames (unlike TrainGridAug's per-axis stripe shuffle). Superseded
+    by TrainGridAug but kept as exported public API, matching the reference.
+    """
+    p_flip: float = 0.5
+    p_rotate: float = 0.5
+    brightness_range: Tuple[float, float] = (0.9, 1.1)
+    noise_std: float = 0.01
+
+    def __call__(self, image: np.ndarray, label: np.ndarray, grid_size: int,
+                 rng: Optional[np.random.Generator] = None):
+        """image: (F, H, W); label: (F, H, W)."""
+        rng = rng or np.random.default_rng()
+        if rng.random() < self.p_flip:
+            if rng.random() < 0.5:
+                image, label = image[..., ::-1], label[..., ::-1]
+            else:
+                image, label = image[..., ::-1, :], label[..., ::-1, :]
+        if rng.random() < self.p_rotate:
+            k = int(rng.choice([1, 2, 3]))
+            image = np.rot90(image, k, axes=(-2, -1))
+            label = np.rot90(label, k, axes=(-2, -1))
+        image = image * rng.uniform(*self.brightness_range)
+        image = image + rng.standard_normal(image.shape).astype(np.float32) * (
+            float(image.std()) * self.noise_std)
+
+        F, H, W = image.shape
+        g = int(grid_size)
+        if g > 1:
+            ph, pw = H // g, W // g
+            if ph and pw:
+                coords, pimgs, plbls = [], [], []
+                for f in range(F):
+                    for i in range(g):
+                        for j in range(g):
+                            y0, x0 = i * ph, j * pw
+                            y1, x1 = min(H, y0 + ph), min(W, x0 + pw)
+                            if y1 > y0 and x1 > x0:
+                                coords.append((f, y0, x0))
+                                pimgs.append(image[f, y0:y1, x0:x1].copy())
+                                plbls.append(label[f, y0:y1, x0:x1].copy())
+                idxs = rng.permutation(len(coords))
+                out_img = np.zeros_like(image)
+                out_lbl = np.zeros_like(label)
+                for new, old in enumerate(idxs):
+                    df, dy, dx = coords[new]
+                    sp, sl = pimgs[old], plbls[old]
+                    h, w = sp.shape
+                    out_img[df, dy:dy + h, dx:dx + w] = sp
+                    out_lbl[df, dy:dy + h, dx:dx + w] = sl
+                return out_img, out_lbl
+        return np.ascontiguousarray(image), np.ascontiguousarray(label)
+
+
 def identity_aug() -> TrainGridAug:
     """Validation transform: all probabilities zero, no stamp
     (reference datasets.py:306-308 quirk #4 — val routes through TrainGridAug

@@ -44,6 +44,20 @@ def _one_hot_last(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
 
 
+def _pick_label_channel(values: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """values[..., labels] without a gather.
+
+    TPU note: take_along_axis lowers to a scalar gather — profiled at ~19 ms
+    per step on (5,512,512,13) volumes, the single hottest op in the original
+    train step. A compare-with-iota masked reduce over the 13-wide class axis
+    is fully vectorized and fuses into the surrounding softmax.
+    """
+    C = values.shape[-1]
+    cls = jax.lax.broadcasted_iota(jnp.int32, labels.shape + (C,), labels.ndim)
+    onehot = labels[..., None].astype(jnp.int32) == cls
+    return jnp.sum(jnp.where(onehot, values, 0.0), axis=-1)
+
+
 def cross_entropy(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -59,9 +73,11 @@ def cross_entropy(
     valid = _valid_mask(labels, ignore_index)
     safe = _safe_labels(labels, valid)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = -_pick_label_channel(logp, safe)
     if class_weights is not None:
-        w = class_weights.astype(jnp.float32)[safe]
+        w = _pick_label_channel(
+            jnp.broadcast_to(class_weights.astype(jnp.float32),
+                             safe.shape + class_weights.shape), safe)
         nll = nll * w
         denom = jnp.sum(w * valid)
     else:
@@ -83,17 +99,17 @@ def hard_macro_dice_loss(
 
     Bit-matches reference helpers.py:782-795: masked tp/fp/fn, smooth in both
     numerator and denominator, plain mean over classes 1..C-1 (no NaN rules).
-    Non-differentiable by construction (argmax).
+    Non-differentiable by construction (argmax). Computed from the one-matmul
+    joint histogram (see metrics.joint_histogram) rather than per-class
+    boolean reductions.
     """
+    from .metrics import joint_histogram
+
     preds = jnp.argmax(logits, axis=-1)
-    mask = _valid_mask(labels, ignore_index)
-    cls = jnp.arange(1, num_classes)
-    pred_c = (preds[..., None] == cls) & mask[..., None]
-    label_c = (labels[..., None] == cls) & mask[..., None]
-    axes = tuple(range(labels.ndim))
-    tp = jnp.sum(pred_c & label_c, axis=axes).astype(jnp.float32)
-    fp = jnp.sum(pred_c & ~label_c, axis=axes).astype(jnp.float32)
-    fn = jnp.sum(~pred_c & label_c, axis=axes).astype(jnp.float32)
+    hist = joint_histogram(preds, labels, num_classes, ignore_index)
+    tp = jnp.diagonal(hist)[1:]
+    fp = (jnp.sum(hist, axis=1) - jnp.diagonal(hist))[1:]
+    fn = (jnp.sum(hist, axis=0) - jnp.diagonal(hist))[1:]
     dice = (2.0 * tp + smooth) / (2.0 * tp + fp + fn + smooth)
     return 1.0 - jnp.mean(dice)
 
@@ -303,9 +319,11 @@ def weighted_softmax_ce(
     valid = _valid_mask(labels, ignore_index).astype(jnp.float32)
     safe = _safe_labels(labels, valid > 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = -_pick_label_channel(logp, safe)
     if class_weights is not None:
-        nll = nll * class_weights.astype(jnp.float32)[safe]
+        nll = nll * _pick_label_channel(
+            jnp.broadcast_to(class_weights.astype(jnp.float32),
+                             safe.shape + class_weights.shape), safe)
     nll = nll * valid
     if voxel_weights is not None:
         vw = voxel_weights.astype(jnp.float32)
@@ -375,13 +393,15 @@ def focal_plus_gradient_loss(
     vmf = valid.astype(jnp.float32)
     safe = _safe_labels(labels, valid)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    ce = -_pick_label_channel(logp, safe)
     pt = jnp.exp(-ce)
     focal_term = (1.0 - pt) ** gamma
     if alpha is not None:
         alpha_vec = jnp.full((num_classes,), float(alpha), jnp.float32)
         alpha_vec = alpha_vec.at[0].set(1.0 - float(alpha))
-        aw = alpha_vec[jnp.clip(labels, 0, num_classes - 1)]
+        aw = _pick_label_channel(
+            jnp.broadcast_to(alpha_vec, labels.shape + (num_classes,)),
+            jnp.clip(labels, 0, num_classes - 1))
         focal_ce = jnp.sum(aw * focal_term * ce * vmf) / jnp.maximum(jnp.sum(vmf), 1.0)
     else:
         focal_ce = jnp.sum(focal_term * ce * vmf) / jnp.maximum(jnp.sum(vmf), 1.0)

@@ -29,6 +29,31 @@ from .config import IGNORE_INDEX, NUM_CLASSES
 SMOOTH = 1e-6
 
 
+def joint_histogram(
+    preds: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = NUM_CLASSES,
+    ignore_index: Optional[int] = IGNORE_INDEX,
+) -> jnp.ndarray:
+    """(C, C) [pred, label] count matrix over valid voxels, as one MXU matmul.
+
+    TPU note: the obvious bincount/scatter-add formulation serializes on the
+    scalar unit (~11 ms per step on 1.3M-voxel volumes); one-hot(preds)^T @
+    one-hot(labels) is a (C, N) x (N, C) matmul the MXU eats in <1 ms.
+    Counts stay exact: 0/1 bf16 operands, f32 accumulation (< 2^24 voxels).
+    """
+    preds = preds.reshape(-1).astype(jnp.int32)
+    labels = labels.reshape(-1).astype(jnp.int32)
+    valid = _mask(labels, ignore_index)
+    cls = jax.lax.broadcasted_iota(jnp.int32, (preds.shape[0], num_classes), 1)
+    pm = ((preds[:, None] == cls) & valid[:, None]).astype(jnp.bfloat16)
+    lm = ((jnp.where(valid, labels, -1)[:, None] == cls)).astype(jnp.bfloat16)
+    hist = jax.lax.dot_general(
+        pm, lm, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return hist
+
+
 def confusion_counts(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -37,27 +62,23 @@ def confusion_counts(
 ) -> jnp.ndarray:
     """(C, 4) int32 array of [tp, fp, fn, tn] per class, on device.
 
-    logits: (..., C) channel-last; labels: (...) int. One joint histogram of
-    (pred*C + label) over valid voxels yields tp/fp/fn; tn follows from the
-    total voxel count (reference-faithful: tn includes ignored voxels).
+    logits: (..., C) channel-last; labels: (...) int. Derived from one joint
+    (pred, label) histogram; tn follows from the total voxel count
+    (reference-faithful: tn includes ignored voxels — helpers.py:684-690).
     """
-    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    labels = labels.astype(jnp.int32)
-    valid = _mask(labels, ignore_index)
-    total = labels.size
+    preds = jnp.argmax(logits, axis=-1)
+    return counts_from_histogram(
+        joint_histogram(preds, labels, num_classes, ignore_index), labels.size
+    )
 
-    safe_lab = jnp.where(valid, labels, 0)
-    joint = preds * num_classes + safe_lab
-    joint = jnp.where(valid.reshape(-1), joint.reshape(-1), num_classes * num_classes)
-    hist = jnp.bincount(joint, length=num_classes * num_classes + 1)[:-1]
-    hist = hist.reshape(num_classes, num_classes)  # [pred, label] counts over valid voxels
 
+def counts_from_histogram(hist: jnp.ndarray, total_voxels: int) -> jnp.ndarray:
     tp = jnp.diagonal(hist)
     pred_count = jnp.sum(hist, axis=1)   # (preds == c) & valid
     label_count = jnp.sum(hist, axis=0)  # (labels == c) & valid
     fp = pred_count - tp
     fn = label_count - tp
-    tn = total - tp - fp - fn            # includes ignored voxels (reference quirk)
+    tn = total_voxels - tp - fp - fn     # includes ignored voxels (reference quirk)
     return jnp.stack([tp, fp, fn, tn], axis=1).astype(jnp.int32)
 
 

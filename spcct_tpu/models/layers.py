@@ -100,23 +100,25 @@ class Norm3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # flax normalization layers compute mean/var in float32 internally
+        # regardless of `dtype` (promoted stats), so passing the activation
+        # dtype straight through is numerically safe and avoids two extra
+        # full-tensor cast passes per norm site (significant: ~30 norm sites
+        # per UNet, fwd+bwd, on 84 MB activations).
         k = (self.kind or "instance").lower()
-        orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
         if k.startswith("inst"):
             c = x.shape[-1]
-            y = nn.GroupNorm(num_groups=c, epsilon=1e-5, dtype=jnp.float32)(x32)
-        elif k.startswith("batch"):
-            y = nn.BatchNorm(
+            return nn.GroupNorm(num_groups=c, epsilon=1e-5, dtype=x.dtype)(x)
+        if k.startswith("batch"):
+            return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32,
-            )(x32)
-        elif k.startswith("group"):
+                dtype=x.dtype,
+            )(x)
+        if k.startswith("group"):
             c = x.shape[-1]
-            y = nn.GroupNorm(num_groups=max(1, c // 8), epsilon=1e-5, dtype=jnp.float32)(x32)
-        else:
-            y = x32
-        return y.astype(orig_dtype)
+            return nn.GroupNorm(num_groups=max(1, c // 8), epsilon=1e-5,
+                                dtype=x.dtype)(x)
+        return x
 
 
 class ConvNormAct3d(nn.Module):
@@ -254,6 +256,72 @@ class AttentionGate(nn.Module):
         att = nn.relu(ax + ag)
         att = Conv3d(1, (1, 1, 1), dtype=self.dtype)(att)
         return x_skip * jax.nn.sigmoid(att)
+
+
+class SPConvBlock(nn.Module):
+    """Two spatial (1,3,3) convs + optional spectral (3,1,1) mix + optional
+    SpectralGate (reference models.py:366-383)."""
+    features: int
+    norm: str = "instance"
+    act: str = "lrelu"
+    mix_spectral: bool = True
+    use_gate: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(norm=self.norm, act=self.act, dtype=self.dtype)
+        x = ConvNormAct3d(self.features, (1, 3, 3), **kw)(x, train)
+        x = ConvNormAct3d(self.features, (1, 3, 3), **kw)(x, train)
+        if self.mix_spectral:
+            x = ConvNormAct3d(self.features, (3, 1, 1), **kw)(x, train)
+        if self.use_gate:
+            x = SpectralGate(dtype=self.dtype)(x)
+        return x
+
+
+class SpectralTemporalMixer2D(nn.Module):
+    """2D spectral mixer: 1x1 conv over frame-channels + SE-style gate
+    (reference models.py:385-405). Input (B, H, W, F) → (B, H, W, Cmix)."""
+    out_channels: int = 64
+    reduction: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        z = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    kernel_init=torch_conv_kernel_init,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        w = jnp.mean(z.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(z.dtype)
+        hidden = max(1, self.out_channels // self.reduction)
+        w = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    kernel_init=torch_conv_kernel_init)(w)
+        w = nn.relu(w)
+        w = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    kernel_init=torch_conv_kernel_init)(w)
+        return z * jax.nn.sigmoid(w)
+
+
+class Up3D(nn.Module):
+    """(1,2,2) transpose-conv upsample + concat skip + DoubleConv + SE
+    (reference models.py:448-461)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        up = ConvTranspose3d(x.shape[-1] // 2, (1, 2, 2), (1, 2, 2),
+                             dtype=self.dtype)(x)
+        diffs = [skip.shape[i] - up.shape[i] for i in (1, 2, 3)]
+        if any(d != 0 for d in diffs):
+            pads = [(0, 0)] + [(0, max(0, d)) for d in diffs] + [(0, 0)]
+            up = jnp.pad(up, pads)
+        y = jnp.concatenate([skip, up], axis=-1)
+        y = DoubleConv3D(self.features, dtype=self.dtype)(y, train)
+        return SE3D(dtype=self.dtype)(y)
 
 
 class ResidualConvBlock3D(nn.Module):

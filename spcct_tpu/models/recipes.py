@@ -41,6 +41,16 @@ class Recipe:
     full_metrics: bool = True         # BaseLitModel logs per-class metrics
     ckpt_dir: Any = None
     dm: str = "3d"
+    engine: str = "standard"          # 'standard' | 'folded' (SPFF family)
+
+    def apply_fn(self):
+        """Execution engine: 'folded' computes the identical function in
+        depth-folded layout (see models/spff_folded.py) — parameter trees and
+        checkpoints are interchangeable with 'standard'."""
+        if self.engine == "folded":
+            from .spff_folded import make_folded_apply
+            return make_folded_apply(self.module)
+        return self.module.apply
 
     def wrap_forward(self, apply_fn):
         """Return forward(variables, x, train, rngs) -> (logits, mutated) with
@@ -194,6 +204,14 @@ def _spct_core(**overrides):
     return UNet3DSpectralCore(**kw)
 
 
+# SPFF execution engine: 'standard' (channels-last conv3d) or 'folded'
+# (depth-folded banded conv2d, models/spff_folded.py — bit-equivalent;
+# currently slower end-to-end on v5e despite winning the conv microbenchmark,
+# so default stays standard until its backward path is tuned).
+import os as _os
+_SPFF_ENGINE = _os.getenv("SPCCT_SPFF_ENGINE", "standard")
+
+
 def build_registry() -> Dict[str, Recipe]:
     """All ten variants in reference registration order (config.py:271-476)."""
     r: Dict[str, Recipe] = {}
@@ -260,6 +278,7 @@ def build_registry() -> Dict[str, Recipe]:
         module=_spct_core(use_efilm=True, use_fouriergate=True),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
         ckpt_dir=CHECKPOINT_DIR / "SPFF-UNet",
+        engine=_SPFF_ENGINE,
     ))
 
     # 7. E_SP_UNet — EFiLM only
@@ -268,6 +287,7 @@ def build_registry() -> Dict[str, Recipe]:
         module=_spct_core(use_efilm=True, use_fouriergate=False),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
         ckpt_dir=CHECKPOINT_DIR / "E_SP_UNet",
+        engine=_SPFF_ENGINE,
     ))
 
     # 8. FG_SP_UNet — FourierGate only
@@ -276,6 +296,7 @@ def build_registry() -> Dict[str, Recipe]:
         module=_spct_core(use_efilm=False, use_fouriergate=True),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
         ckpt_dir=CHECKPOINT_DIR / "FG_SP_UNet",
+        engine=_SPFF_ENGINE,
     ))
 
     # 9. SP_UNet — SE+SpecSE only, pad-to-16 forward (_LitSPCT_Base)
@@ -285,6 +306,7 @@ def build_registry() -> Dict[str, Recipe]:
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
         forward_wrap="pad16",
         ckpt_dir=CHECKPOINT_DIR / "SP_UNet",
+        engine=_SPFF_ENGINE,
     ))
 
     # 10. PlainCore_UNet — all gates off
@@ -293,6 +315,7 @@ def build_registry() -> Dict[str, Recipe]:
         module=_spct_core(use_se=False, use_specse=False),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
         ckpt_dir=CHECKPOINT_DIR / "PlainCore_UNet",
+        engine=_SPFF_ENGINE,
     ))
 
     return r
@@ -305,6 +328,10 @@ def registry() -> Dict[str, Recipe]:
     global _REGISTRY
     if _REGISTRY is None:
         _REGISTRY = build_registry()
+        # unified loss/optimizer overrides (reference unified_loss.py /
+        # unified_optimizer.py — OFF unless SPCCT_UNIFIED_* env set)
+        from ..train.unified import maybe_apply_env_overrides
+        _REGISTRY = maybe_apply_env_overrides(_REGISTRY)
     return _REGISTRY
 
 

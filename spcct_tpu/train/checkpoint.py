@@ -58,8 +58,24 @@ class CheckpointManager:
         return (self.dir / kind).exists()
 
     def restore(self, kind: str, template: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-        """Restore a state tree shaped like `template`; returns (state, meta)."""
-        restored = self._ckptr.restore(self.dir / kind, item=template)
+        """Restore a state tree shaped like `template`; returns (state, meta).
+
+        A template with fewer keys than the checkpoint (e.g. params-only for
+        inference, no opt_state) restores partially — the equivalent of the
+        reference's prefix-realigned state_dict fallback (test.py:548-579).
+        """
+        # top-level None entries (e.g. batch_stats for norm-free models,
+        # opt_state for inference-only restores) are stripped for orbax and
+        # reattached afterwards
+        nones = {k for k, v in template.items() if v is None}
+        trimmed = {k: v for k, v in template.items() if v is not None}
+        try:
+            restored = self._ckptr.restore(self.dir / kind, item=trimmed)
+        except ValueError:
+            restored = self._ckptr.restore(
+                self.dir / kind, item=trimmed, partial_restore=True)
+        for k in nones:
+            restored[k] = None
         return restored, self._read_meta().get(kind, {})
 
     def resume_kind(self) -> Optional[str]:

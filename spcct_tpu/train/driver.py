@@ -197,7 +197,7 @@ def fit(
         return {"val_macro_dice": float(best_metric)}
 
     return evaluate_test(variant, seed, recipe, tree, eval_step, dm,
-                         log_root=log_root, mesh=mesh)
+                         log_root=log_root, mesh=mesh, ckpt_seed_dir=sdir)
 
 
 def evaluate_test(
@@ -209,6 +209,7 @@ def evaluate_test(
     dm: SpcctDataModule3D,
     log_root,
     mesh=None,
+    ckpt_seed_dir=None,
 ) -> Dict[str, float]:
     """Custom rank-0 test pass (reference train.py:1520-1560: Lightning
     .test() deliberately bypassed — quirk #7 — in favor of explicit CSV
@@ -265,12 +266,19 @@ def evaluate_test(
 
     if detail_rows:
         import csv
-        dpath = log_root / "test_details.csv"
-        with open(dpath, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(detail_rows[0].keys()))
-            w.writeheader()
-            w.writerows(detail_rows)
-        _write_summary(detail_rows, log_root / "summary.csv")
+        # reference layout: test_details.csv/summary.csv live in the
+        # checkpoint seed dir (test.py:98-111 reads them there); mirror a
+        # copy next to the logs.
+        targets = [log_root]
+        if ckpt_seed_dir is not None:
+            targets.append(Path(ckpt_seed_dir))
+        for tdir in targets:
+            tdir.mkdir(parents=True, exist_ok=True)
+            with open(tdir / "test_details.csv", "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(detail_rows[0].keys()))
+                w.writeheader()
+                w.writerows(detail_rows)
+            _write_summary(detail_rows, tdir / "summary.csv")
 
     return test_metrics
 

@@ -68,9 +68,9 @@ def make_steps(
     train_step(state_tree, x, y) -> (new_state_tree, metric_vec)
     eval_step(state_tree, x, y)  -> (metric_vec, logits)
     """
-    apply_fn = recipe.module.apply
+    apply_fn = recipe.apply_fn()
     if remat:
-        apply_fn = jax.checkpoint(recipe.module.apply)  # remat trades FLOPs for HBM
+        apply_fn = jax.checkpoint(apply_fn)  # remat trades FLOPs for HBM
     forward = recipe.wrap_forward(apply_fn)
 
     def train_step(tree, x, y):

@@ -75,8 +75,9 @@ def main(argv=None):
             return 2
         for seed in seeds:
             print(f"\n=== {name} / seed {seed} ===")
+            from spcct_tpu.analysis.viz import viz_epoch
             res = fit(name, seed, max_epochs=args.epochs, mesh=mesh,
-                      batch_size=args.batch_size)
+                      batch_size=args.batch_size, viz_hook=viz_epoch)
             append_row_csv(LOG_DIR / "all_results.csv", {
                 "model": name, "seed": seed,
                 "test_macro_dice": res.get("test_macro_dice"),
