@@ -29,6 +29,8 @@ BASELINE_PPS = float(os.getenv("SPCCT_BASELINE_PPS", "0")) or None
 
 
 def main():
+    from spcct_tpu.utils.jax_cache import enable as _enable_cache
+    _enable_cache()
     import jax
     import jax.numpy as jnp
     from spcct_tpu.models.recipes import get_recipe

@@ -42,6 +42,7 @@ class Recipe:
     ckpt_dir: Any = None
     dm: str = "3d"
     engine: str = "standard"          # 'standard' | 'folded' (SPFF family)
+    remat: bool = False               # gradient checkpointing (Swin: reference config.py:378 use_checkpoint=True)
 
     def apply_fn(self):
         """Execution engine: 'folded' computes the identical function in
@@ -259,7 +260,7 @@ def build_registry() -> Dict[str, Recipe]:
                          window_size=(2, 2, 2), mlp_ratio=2.0, dtype=jnp.bfloat16),
         loss=_transformer_loss, opt_kind="adamw_cosine", lr=8e-4,
         weight_decay=1e-2, warmup_epochs=5, forward_wrap="pad32",
-        full_metrics=False,
+        full_metrics=False, remat=True,
         ckpt_dir=CHECKPOINT_DIR / "SwinUNETR",
     ))
 

@@ -103,7 +103,8 @@ def fit(
         f"Model: {variant}\nParams: {n_params/1e6:.3f} M\n"
     )
 
-    train_step, eval_step = make_steps(recipe, optimizer, mesh=mesh)
+    train_step, eval_step = make_steps(recipe, optimizer, mesh=mesh,
+                                       remat=recipe.remat)
 
     ckpt = CheckpointManager(sdir)
     tree = {"params": state.params, "opt_state": state.opt_state,
@@ -133,7 +134,7 @@ def fit(
     t_run = time.time()
     stop = False
     epoch = start_epoch
-    history_rows = 0
+    epoch_times: list = []
 
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
@@ -158,9 +159,15 @@ def fit(
         dt = time.time() - t0
         logs.log("train", epoch, {**train_metrics, "lr": lr_now, "epoch_time_s": round(dt, 3)})
         logs.log("val", epoch, val_metrics)
+        # progress + ETA from a 3-epoch moving average
+        # (reference EpochProgressPrinter, helpers.py:811-831)
+        epoch_times.append(dt)
+        avg = float(np.mean(epoch_times[-3:]))
+        eta_min = (max_epochs - epoch - 1) * avg / 60.0
         print(f"[{variant}/seed{seed}] epoch {epoch + 1}/{max_epochs} "
               f"loss={train_metrics.get('train_loss', float('nan')):.4f} "
-              f"val_macro_dice={val_macro:.4f} ({dt:.1f}s, {nsteps} steps)")
+              f"val_macro_dice={val_macro:.4f} ({dt:.1f}s, {nsteps} steps, "
+              f"ETA ~{eta_min:.1f} min)")
 
         # plateau LR (Adam recipes only)
         if plateau is not None:

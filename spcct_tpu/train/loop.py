@@ -70,7 +70,15 @@ def make_steps(
     """
     apply_fn = recipe.apply_fn()
     if remat:
-        apply_fn = jax.checkpoint(apply_fn)  # remat trades FLOPs for HBM
+        # gradient checkpointing (reference SwinUNETR use_checkpoint=True,
+        # config.py:378): remat the array path only — flags stay static
+        base_apply = apply_fn
+
+        def apply_fn(variables, x, train=False, mutable=False):
+            if mutable:
+                return base_apply(variables, x, train=train, mutable=mutable)
+            return jax.checkpoint(
+                lambda v, z: base_apply(v, z, train=train))(variables, x)
     forward = recipe.wrap_forward(apply_fn)
 
     def train_step(tree, x, y):

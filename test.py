@@ -12,6 +12,8 @@ import sys
 
 
 def main():
+    from spcct_tpu.utils.jax_cache import enable as _enable_cache
+    _enable_cache()
     from spcct_tpu.analysis.report import main as report_main
     report_main()
     return 0

@@ -48,6 +48,9 @@ def main(argv=None):
         os.environ["FAST_SKIP_TEST_DETAILS"] = "1"
 
     # imports AFTER env mutation so module-level flags pick them up
+    from spcct_tpu.utils.jax_cache import enable as _enable_cache
+    _enable_cache()
+
     from spcct_tpu.config import LOG_DIR, SEEDS, SELECTED_VARIANT, ensure_dirs
     from spcct_tpu.models.recipes import VARIANT_NAMES
     from spcct_tpu.train.driver import fit
