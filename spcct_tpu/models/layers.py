@@ -31,8 +31,60 @@ def act_fn(kind: str = "lrelu") -> Callable[[jnp.ndarray], jnp.ndarray]:
     return nn.gelu
 
 
+import os as _os
+
+# custom fast-wgrad conv path (ops/fast_conv.py). 8x faster wgrad in
+# isolated single-conv programs, but XLA's full-graph algorithm choice is
+# already equivalent (measured: identical 161 ms step either way), so the
+# default stays off; SPCCT_FAST_WGRAD=1 enables it.
+_FAST_WGRAD = _os.getenv("SPCCT_FAST_WGRAD", "0") == "1"
+
+
+class _RawConv(nn.Module):
+    """Parameter-owning conv core (named 'Conv_0' by Conv3d for checkpoint
+    compatibility with the previous nn.Conv-based layout)."""
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int]
+    padding: Any
+    dilation: Tuple[int, int, int]
+    use_bias: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        fan_in = cin * math.prod(self.kernel_size)
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            self.kernel_size + (cin, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        xc = x.astype(self.dtype)
+        symmetric = (self.padding is None or self.padding ==
+                     [(kk // 2, kk // 2) for kk in self.kernel_size])
+        if (_FAST_WGRAD and symmetric and self.strides == (1, 1, 1)
+                and self.dilation == (1, 1, 1)):
+            from ..ops.fast_conv import conv3d_fast
+            y = conv3d_fast(xc, k)
+        else:
+            pad = self.padding
+            if pad is None:
+                pad = [(d * (kk // 2), d * (kk // 2))
+                       for kk, d in zip(self.kernel_size, self.dilation)]
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            y = jax.lax.conv_general_dilated(
+                xc, k, self.strides, pad, rhs_dilation=self.dilation,
+                dimension_numbers=dn)
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(fan_in),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv3d(nn.Module):
-    """torch.nn.Conv3d equivalent: channels-last lax conv with torch init."""
+    """torch.nn.Conv3d equivalent: channels-last conv, torch init, custom
+    fast-wgrad backward for the stride-1 body convs."""
     features: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     strides: Tuple[int, int, int] = (1, 1, 1)
@@ -43,23 +95,10 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.padding is None:
-            pad = [(d * (k // 2), d * (k // 2)) for k, d in zip(self.kernel_size, self.dilation)]
-        else:
-            pad = self.padding
-        cin = x.shape[-1]
-        fan_in = cin * math.prod(self.kernel_size)
-        return nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=pad,
-            kernel_dilation=self.dilation,
-            use_bias=self.use_bias,
-            kernel_init=torch_conv_kernel_init,
-            bias_init=torch_bias_init(fan_in),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
+        return _RawConv(
+            self.features, tuple(self.kernel_size), tuple(self.strides),
+            self.padding, tuple(self.dilation), self.use_bias, self.dtype,
+            name="Conv_0",
         )(x)
 
 
