@@ -84,6 +84,7 @@ def per_class_heatmaps(ckpt_root, models: List[str], seeds: List[int],
         std = df.pivot_table(index="model", columns="class", values=metric,
                              aggfunc="std")
         mean = mean.reindex(models)
+        std = std.reindex(models).reindex(columns=mean.columns)
         fig, ax = plt.subplots(figsize=(1.0 * NUM_CLASSES, 0.6 * len(models) + 2))
         im = ax.imshow(mean.to_numpy(), vmin=0, vmax=1, cmap="viridis",
                        aspect="auto")
@@ -94,9 +95,10 @@ def per_class_heatmaps(ckpt_root, models: List[str], seeds: List[int],
         for i in range(mean.shape[0]):
             for j in range(mean.shape[1]):
                 m = mean.iloc[i, j]
-                s = std.iloc[i, j] if (i < std.shape[0] and j < std.shape[1]) else np.nan
+                s = std.iloc[i, j]
                 if np.isfinite(m):
-                    ax.text(j, i, f"{m:.2f}\n±{0 if not np.isfinite(s) else s:.2f}",
+                    stxt = f"±{s:.2f}" if np.isfinite(s) else ""
+                    ax.text(j, i, f"{m:.2f}\n{stxt}",
                             ha="center", va="center", fontsize=6,
                             color="white" if m < 0.6 else "black")
         ax.set_title(f"{metric} (mean±std over seeds)")
