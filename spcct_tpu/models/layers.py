@@ -127,18 +127,36 @@ class ConvTranspose3d(nn.Module):
         )(x)
 
 
+class _GNParams(nn.Module):
+    """Scale/bias holder executing the fused IN+lrelu op; named 'GroupNorm_0'
+    by Norm3d so the parameter tree matches the unfused flax GroupNorm."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        from ..ops.fused_norm import instance_norm_lrelu
+        return instance_norm_lrelu(x, scale, bias)
+
+
 class Norm3d(nn.Module):
     """Norm factory (reference models.py:168-173): instance/batch/group/none.
 
     Instance norm == GroupNorm(group_size=1) over (D,H,W) per sample/channel,
     affine, eps 1e-5 — matching torch InstanceNorm3d(affine=True).
     BatchNorm matches torch momentum 0.1 (flax momentum = 0.9).
+    fused_lrelu folds the LeakyReLU into a custom-vjp op with a closed-form
+    backward (ops/fused_norm.py) — same math, fewer backward passes.
     """
     kind: str = "instance"
     dtype: Dtype = jnp.float32
+    fused_lrelu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.fused_lrelu and (self.kind or "instance").lower().startswith("inst"):
+            return _GNParams(name="GroupNorm_0")(x)
         # flax normalization layers compute mean/var in float32 internally
         # regardless of `dtype` (promoted stats), so passing the activation
         # dtype straight through is numerically safe and avoids two extra

@@ -24,6 +24,12 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.resize import trilinear_resize
+import os as _os
+# fused IN+lrelu (ops/fused_norm.py): parity-exact, but the custom_vjp
+# boundary blocks XLA's cross-op fusion and nets out slightly slower
+# (168 vs 161 ms step) — off by default, kept as a tested building block.
+_FUSED_NORM = _os.getenv("SPCCT_FUSED_NORM", "0") == "1"
+
 from .layers import (
     AttentionGate,
     Conv3d,
@@ -121,10 +127,15 @@ class DoubleConvSpectral(nn.Module):
         k = (self.ksd, 3, 3)
         pad = [(self.ksd // 2, self.ksd // 2), (1, 1), (1, 1)]
         a = act_fn(self.act)
+        # fused IN+lrelu (ops/fused_norm.py) when the recipe uses the default
+        # instance/lrelu pair; same parameter tree either way
+        fuse = _FUSED_NORM and self.norm == "instance" and self.act == "lrelu"
         x = Conv3d(self.features, k, padding=pad, use_bias=False, dtype=self.dtype)(x)
-        x = a(Norm3d(self.norm, dtype=self.dtype)(x, train=train))
+        y = Norm3d(self.norm, dtype=self.dtype, fused_lrelu=fuse)(x, train=train)
+        x = y if fuse else a(y)
         x = Conv3d(self.features, k, padding=pad, use_bias=False, dtype=self.dtype)(x)
-        x = a(Norm3d(self.norm, dtype=self.dtype)(x, train=train))
+        y = Norm3d(self.norm, dtype=self.dtype, fused_lrelu=fuse)(x, train=train)
+        x = y if fuse else a(y)
         if self.use_efilm:
             x = EnergyFiLM3D(self.features, dtype=self.dtype)(x)
         if self.use_fouriergate:
