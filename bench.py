@@ -47,20 +47,22 @@ def main():
     x = jnp.asarray(rng.standard_normal((batch, frames, hw, hw, 1)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, 13, (batch, frames, hw, hw)).astype(np.int32))
 
+    from spcct_tpu.metrics import MetricAccum, metric_names
     state, opt = create_state(recipe, jax.random.PRNGKey(0), x, 100, 100)
     train_step, _ = make_steps(recipe, opt)
     tree = state.tree()
+    acc = MetricAccum.zeros(len(metric_names("x")))
 
     for _ in range(warmup):
-        tree, mv = train_step(tree, x, y)
-    float(mv[0])  # host pull: block_until_ready alone does not drain the
-    # remote execution stream on tunneled backends — a dependent scalar
+        tree, acc = train_step(tree, acc, x, y)
+    float(acc.sums[0])  # host pull: block_until_ready alone does not drain
+    # the remote execution stream on tunneled backends — a dependent scalar
     # transfer is the only reliable completion barrier.
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        tree, mv = train_step(tree, x, y)
-    assert np.isfinite(float(mv[0]))  # forces the full 'steps' chain
+        tree, acc = train_step(tree, acc, x, y)
+    assert np.isfinite(float(acc.sums[0]))  # forces the full 'steps' chain
     dt = time.perf_counter() - t0
 
     n_dev = jax.local_device_count()

@@ -142,16 +142,14 @@ def fit(
         nsteps = 0
         for x, y in dm.train_batches(seed, epoch):
             x, y = _put(np.asarray(x), np.asarray(y))
-            tree, mv = train_step(tree, x, y)
-            acc = acc.update(mv)
+            tree, acc = train_step(tree, acc, x, y)
             nsteps += 1
         train_metrics = _accum_to_dict("train", acc)
 
         vacc = MetricAccum.zeros(n_metrics)
         for x, y in dm.val_batches():
             x, y = _put(np.asarray(x), np.asarray(y))
-            mv, _ = eval_step(tree, x, y)
-            vacc = vacc.update(mv)
+            vacc, _ = eval_step(tree, vacc, x, y)
         val_metrics = _accum_to_dict("val", vacc)
         val_macro = val_metrics.get("val_macro_dice", float("nan"))
 
@@ -236,12 +234,12 @@ def evaluate_test(
         xb, yb = np.asarray(x), np.asarray(y)
         if mesh is not None:
             xp, yp = pad_batch_to_mesh(xb, yb, mesh)
-            mv, logits = eval_step(tree, *shard_batch((xp, yp), mesh))
+            xs, ys = shard_batch((xp, yp), mesh)
+            acc, logits = eval_step(tree, acc, xs, ys)
             logits = np.asarray(logits)[: xb.shape[0]]
         else:
-            mv, logits = eval_step(tree, xb, yb)
+            acc, logits = eval_step(tree, acc, xb, yb)
             logits = np.asarray(logits)
-        acc = acc.update(mv)
         batches += 1
         # per-case details (reference write_test_details_3d, train.py:263-331)
         if not FAST_SKIP_TEST_DETAILS:

@@ -81,7 +81,7 @@ def make_steps(
                 lambda v, z: base_apply(v, z, train=train))(variables, x)
     forward = recipe.wrap_forward(apply_fn)
 
-    def train_step(tree, x, y):
+    def train_step(tree, acc, x, y):
         params, opt_state, batch_stats = tree["params"], tree["opt_state"], tree["batch_stats"]
         has_bn = batch_stats is not None
 
@@ -97,33 +97,36 @@ def make_steps(
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_bs = mut["batch_stats"] if (has_bn and mut) else batch_stats
-        mv = metric_vector(loss, logits, y)
-        return {"params": new_params, "opt_state": new_opt, "batch_stats": new_bs}, mv
+        # metric accumulation stays inside the compiled step: one dispatch per
+        # step, no host round-trips (the reference pulls 13x4 counts per step)
+        acc = acc.update(metric_vector(loss, logits, y))
+        return {"params": new_params, "opt_state": new_opt, "batch_stats": new_bs}, acc
 
-    def eval_step(tree, x, y):
+    def eval_step(tree, acc, x, y):
         params, batch_stats = tree["params"], tree["batch_stats"]
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         logits, _ = forward(variables, x, train=False, mutable=False)
         loss, _aux = recipe.loss(logits, y)
-        return metric_vector(loss, logits, y), logits
+        return acc.update(metric_vector(loss, logits, y)), logits
 
     if mesh is not None:
         bsh = batch_sharding(mesh)
         rep = replicated(mesh)
         train_step = jax.jit(
             train_step,
-            in_shardings=(rep, bsh, bsh),
+            in_shardings=(rep, rep, bsh, bsh),
             out_shardings=(rep, rep),
-            donate_argnums=(0,),
+            donate_argnums=(0, 1),
         )
         eval_step = jax.jit(
-            eval_step, in_shardings=(rep, bsh, bsh), out_shardings=(rep, rep)
+            eval_step, in_shardings=(rep, rep, bsh, bsh),
+            out_shardings=(rep, rep), donate_argnums=(1,),
         )
     else:
-        train_step = jax.jit(train_step, donate_argnums=(0,))
-        eval_step = jax.jit(eval_step)
+        train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        eval_step = jax.jit(eval_step, donate_argnums=(1,))
     return train_step, eval_step
 
 

@@ -48,17 +48,21 @@ def test_data_parallel_train_step_matches_single_device():
     x = jnp.asarray(rng.standard_normal((8, 5, 8, 8, 1)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, 13, (8, 5, 8, 8)).astype(np.int32))
 
+    from spcct_tpu.metrics import MetricAccum, metric_names
     state, opt = create_state(recipe, jax.random.PRNGKey(0), x, 1, 1)
     tree_a = jax.tree.map(lambda a: a.copy(), state.tree())
     tree_b = jax.tree.map(lambda a: a.copy(), state.tree())
+    n_m = len(metric_names("x"))
 
     step_single, _ = make_steps(recipe, opt, mesh=None)
-    tree_a, mv_a = step_single(tree_a, x, y)
+    tree_a, acc_a = step_single(tree_a, MetricAccum.zeros(n_m), x, y)
+    mv_a = acc_a.result()
 
     mesh = make_mesh(8, 1)
     step_mesh, eval_mesh = make_steps(recipe, opt, mesh=mesh)
     xb, yb = shard_batch((np.asarray(x), np.asarray(y)), mesh)
-    tree_b, mv_b = step_mesh(tree_b, xb, yb)
+    tree_b, acc_b = step_mesh(tree_b, MetricAccum.zeros(n_m), xb, yb)
+    mv_b = acc_b.result()
 
     for a, b in zip(jax.tree.leaves(tree_a["params"]), jax.tree.leaves(tree_b["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -40,13 +40,15 @@ def test_train_step_decreases_loss():
     recipe = _tiny_recipe()
     rng = np.random.default_rng(0)
     x, y = _batch(rng)
+    from spcct_tpu.metrics import MetricAccum, metric_names
     state, opt = create_state(recipe, jax.random.PRNGKey(0), x, 10, 10)
     train_step, _ = make_steps(recipe, opt)
     tree = state.tree()
     losses = []
     for _ in range(8):
-        tree, mv = train_step(tree, x, y)
-        losses.append(float(mv[0]))
+        acc = MetricAccum.zeros(len(metric_names("x")))
+        tree, acc = train_step(tree, acc, x, y)
+        losses.append(float(np.asarray(acc.result())[0]))
     assert losses[-1] < losses[0]
 
 
