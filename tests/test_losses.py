@@ -85,6 +85,17 @@ def test_hard_dice_term_carries_no_gradient():
     np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_ce), atol=1e-6)
 
 
+def test_soft_dice_mode_carries_gradient():
+    # SPCCT_SOFT_DICE=1 opt-in (quirk #1 fix): the dice term becomes
+    # differentiable, so the full-loss gradient differs from CE-only
+    logits, labels = _batch(8)
+    x, y = jnp.asarray(logits), jnp.asarray(labels)
+    g_soft = jax.grad(lambda z: L.ce_plus_macro_dice_loss(z, y, C, IGN,
+                                                          soft_dice=True))(x)
+    g_ce = jax.grad(lambda z: L.cross_entropy(z, y, IGN))(x)
+    assert float(jnp.abs(g_soft - g_ce).max()) > 1e-6
+
+
 def test_soft_dice_squared_denominator_matches_torch():
     # oracle: reference models.py:254-275
     logits, labels = _batch(4)

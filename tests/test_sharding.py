@@ -70,6 +70,21 @@ def test_data_parallel_train_step_matches_single_device():
                                equal_nan=True)
 
 
+def test_fit_with_mesh_end_to_end(tmp_path):
+    """driver.fit on the virtual 8-device mesh: pad_batch_to_mesh + sharded
+    train/eval steps + checkpointing, one epoch."""
+    from spcct_tpu.config import trainval_sets
+    from spcct_tpu.data.pipeline import SpcctDataModule3D
+    from spcct_tpu.train import driver
+
+    mesh = make_mesh(8, 1)
+    dm = SpcctDataModule3D(trainval_sets[:1], batch_size=3, num_frames=5)
+    res = driver.fit("PlainCore_UNet", 7, max_epochs=1, dm=dm, mesh=mesh,
+                     log_root=tmp_path / "logs", ckpt_root=tmp_path / "ckpt",
+                     run_test=True)
+    assert np.isfinite(res["test_loss"])
+
+
 def test_graft_entry_dryrun_multichip():
     import importlib.util, pathlib
     spec = importlib.util.spec_from_file_location(
