@@ -81,3 +81,53 @@ def viz_epoch(recipe, tree, dm, epoch: int, out_root):
         axes[f].axis("off")
     _save_atomic(fig, out_dir / f"val_epoch{epoch:03d}_frames.png")
     plt.close(fig)
+
+    # per-class softmax heatmaps on the center slice
+    # (reference _plot_softmax_per_class, helpers.py:369-408)
+    from ..config import NUM_CLASSES, global_label_names
+    ncol = NUM_CLASSES + 1
+    fig, axes = plt.subplots(1, ncol, figsize=(2.2 * ncol, 2.6))
+    axes[0].imshow(img[center], cmap="gray")
+    axes[0].set_title("Input", fontsize=7)
+    for c in range(NUM_CLASSES):
+        ax = axes[c + 1]
+        ax.imshow(img[center], cmap="gray")
+        color = np.asarray(label_colors.get(c, (255, 255, 255))) / 255.0
+        overlay = np.ones(probs[center, :, :, c].shape + (3,)) * color
+        ax.imshow(overlay, alpha=np.clip(probs[center, :, :, c], 0, 1))
+        ax.set_title(global_label_names.get(c, str(c)), fontsize=7)
+    for ax in axes:
+        ax.axis("off")
+    _save_atomic(fig, out_dir / f"val_epoch{epoch:03d}_softmax.png")
+    plt.close(fig)
+
+    # grid-shuffle vs no-grid comparison (reference on_train_epoch_end,
+    # helpers.py:557-613): one augmented train batch vs the identity val batch
+    try:
+        xg, yg = next(iter(dm.train_batches(seed=epoch, epoch=epoch,
+                                            prefetch=False)))
+        logits_g, _ = forward(variables, jnp.asarray(xg), train=False,
+                              mutable=False)
+        lgg = np.asarray(logits_g)[0]
+        pred_g = lgg.argmax(-1)
+        img_g = np.asarray(xg)[0, ..., 0]
+        gt_g = np.asarray(yg)[0]
+        cg = img_g.shape[0] // 2
+        fig, axes = plt.subplots(2, 3, figsize=(10, 6.5))
+        rows = [("no grid", img[center], gt[center], pred[center]),
+                ("grid shuffle", img_g[cg], gt_g[cg], pred_g[cg])]
+        for r, (tag, im0, g0, p0) in enumerate(rows):
+            axes[r, 0].imshow(im0, cmap="gray")
+            axes[r, 0].set_title(f"Input ({tag})", fontsize=8)
+            axes[r, 1].imshow(im0, cmap="gray")
+            axes[r, 1].imshow(_color_mask(np.where(g0 == 255, 0, g0)), alpha=0.5)
+            axes[r, 1].set_title(f"GT ({tag})", fontsize=8)
+            axes[r, 2].imshow(im0, cmap="gray")
+            axes[r, 2].imshow(_color_mask(p0), alpha=0.5)
+            axes[r, 2].set_title(f"Pred ({tag})", fontsize=8)
+        for ax in axes.ravel():
+            ax.axis("off")
+        _save_atomic(fig, out_dir / f"train_epoch{epoch:03d}_compare.png")
+        plt.close(fig)
+    except Exception as e:  # viz must never kill training
+        print(f"[viz] compare panel skipped: {e}")
