@@ -19,6 +19,56 @@ import numpy as np
 from ..config import LOG_DIR, NUM_FRAMES, IMAGE_HEIGHT, IMAGE_WIDTH, ensure_dirs
 
 
+def forward_flops(name: str, batch: int, frames: int, hw: int) -> float:
+    """FLOPs of `name`'s wrapped forward at (batch, frames, hw, hw, 1), from
+    XLA's cost analysis of the *lowered* (uncompiled) graph — cheap: one trace,
+    no backend compile. Tries the current backend first; the axon TPU plugin
+    returns None for lowered cost analysis, so falls back to a CPU subprocess
+    (FLOP counts are shape arithmetic, identical across backends)."""
+    try:
+        f = _forward_flops_inline(name, batch, frames, hw)
+        if f == f:  # not NaN
+            return f
+    except Exception:
+        pass
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from spcct_tpu.analysis.profiling import _forward_flops_inline\n"
+        f"print('FLOPS=%r' % _forward_flops_inline({name!r}, {batch}, {frames}, {hw}))\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600)
+    for line in r.stdout.splitlines():
+        if line.startswith("FLOPS="):
+            return float(line[6:])
+    raise RuntimeError(f"flops subprocess failed: {r.stderr[-500:]}")
+
+
+def _forward_flops_inline(name: str, batch: int, frames: int, hw: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    from ..models.recipes import get_recipe
+
+    recipe = get_recipe(name)
+    x = jnp.zeros((batch, frames, hw, hw, 1), jnp.float32)
+    variables = recipe.init(jax.random.PRNGKey(0), x)
+    forward = recipe.wrap_forward(recipe.apply_fn())
+    lowered = jax.jit(
+        lambda v, xx: forward(v, xx, train=False, mutable=False)[0]
+    ).lower(variables, x)
+    ca = lowered.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    if ca is None:
+        return float("nan")
+    return float(ca.get("flops", float("nan")))
+
+
 def profile_variant(name: str, hw: Optional[int] = None, iters: int = 20,
                     warmup: int = 3) -> Dict[str, float]:
     import jax

@@ -129,7 +129,7 @@ FOCAL_ALPHA = 0.25
 FOCAL_GAMMA = 2.0
 GRAD_WEIGHT = 1.0
 
-USE_VMI = False
+USE_VMI = os.getenv("SPCCT_USE_VMI", "0") == "1"  # default OFF (reference config.py:240)
 VMI_MODE = "linear"
 VMI_WEIGHTS = [[0.10, 0.20, 0.40, 0.20, 0.10]]  # K x F
 VMI_CLIP = (None, None)

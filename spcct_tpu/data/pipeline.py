@@ -20,11 +20,16 @@ from ..config import (
     IGNORE_INDEX,
     NUM_CLASSES,
     NUM_FRAMES,
+    USE_VMI,
+    VMI_CLIP,
+    VMI_RETURN_DEPTH,
+    VMI_WEIGHTS,
     grid_size as GRID_SIZE,
     test_set as TEST_SET,
 )
 from .augment import TrainGridAug, generate_cumulative_grid_sizes, identity_aug
 from .loader import load_config_set
+from .vmi import apply_vmi_np
 
 
 def sanitize_labels(lbl: np.ndarray, num_classes: int = NUM_CLASSES,
@@ -220,7 +225,29 @@ class SpcctDataModule3D:
                 lbls.append(lb)
             x = np.stack(imgs)[..., None].astype(np.float32)  # (B,F,H,W,1) / 2D: (B,C,H,W,1)
             y = np.stack(lbls).astype(np.int32)
+            if self.use_vmi and x.ndim == 5:
+                x, y = self._apply_vmi(x, y)
             yield x, y
+
+    # VMI preprocessing (reference helpers.py:915-943; imported by the
+    # reference's datasets.py:29-33 but never called there — this wiring
+    # defines the runtime behavior when USE_VMI / SPCCT_USE_VMI=1 is set).
+    use_vmi = USE_VMI
+
+    @staticmethod
+    def _apply_vmi(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """x (B,F,H,W,1) → (B,D,H,W,1) virtual monoenergetic stack. Labels are
+        depth-aligned: if D != F they are collapsed over frames (per-class
+        any-over-frames, same rule as the 2D dataset) and broadcast to D."""
+        x2 = apply_vmi_np(x, VMI_WEIGHTS, VMI_CLIP, return_depth=VMI_RETURN_DEPTH)
+        D, F = x2.shape[1], y.shape[1]
+        if D != F:
+            combined = np.zeros((y.shape[0],) + y.shape[2:], y.dtype)
+            for c in range(1, NUM_CLASSES):
+                combined[np.any(y == c, axis=1)] = c
+            combined[np.all(y == IGNORE_INDEX, axis=1)] = IGNORE_INDEX
+            y = np.repeat(combined[:, None], D, axis=1)
+        return x2, y
 
     def train_batches(self, seed: int, epoch: int, prefetch: bool = True):
         """Fresh shuffle + fresh augmentation stream every epoch (matches the

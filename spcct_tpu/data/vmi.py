@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def apply_vmi_preprocess(
@@ -40,3 +41,32 @@ def apply_vmi_preprocess(
         D = max(1, int(return_depth))
         vmi = jnp.broadcast_to(vmi[:, 0:1], (B, D, H, W))
     return vmi[..., None]
+
+
+def apply_vmi_np(
+    x: np.ndarray,
+    weights: Sequence[Sequence[float]],
+    clip: Tuple[Optional[float], Optional[float]] = (None, None),
+    return_depth: int = 1,
+) -> np.ndarray:
+    """Host-side (numpy) twin of apply_vmi_preprocess for the input pipeline —
+    same semantics, no device round-trip from the prefetch thread. Tested
+    against the jnp version in tests/test_data.py."""
+    if x.ndim != 5 or x.shape[-1] != 1:
+        raise ValueError(f"expected (B,F,H,W,1), got {x.shape}")
+    B, F, H, W, _ = x.shape
+    Wm = np.asarray(weights, x.dtype)  # (K, F)
+    if Wm.shape[1] != F:
+        raise ValueError(f"weights expect F={F}, got {Wm.shape[1]}")
+    vmi = np.einsum("kf,bfhw->bkhw", Wm, x[..., 0])
+
+    lo, hi = clip
+    if lo is not None or hi is not None:
+        vmi = np.clip(vmi,
+                      lo if lo is not None else vmi.min(),
+                      hi if hi is not None else vmi.max())
+
+    if vmi.shape[1] == 1:
+        D = max(1, int(return_depth))
+        vmi = np.broadcast_to(vmi[:, 0:1], (B, D, H, W))
+    return np.ascontiguousarray(vmi[..., None])

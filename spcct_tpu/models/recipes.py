@@ -57,14 +57,22 @@ class Recipe:
         """Return forward(variables, x, train, rngs) -> (logits, mutated) with
         the variant's pad/resize policy applied (reference forward overrides:
         models.py:707-712 pad16; 773-777 depth adapter; 1022-1036 UNETR
-        resize; 899-904 Swin pad32; 1199-1204/1381-1386 pad16)."""
+        resize; 899-904 Swin pad32; 1199-1204/1381-1386 pad16).
+
+        Model outputs are normalized through select_main_logits (reference
+        _select_main_logits, train.py:160-187 used at 723-733): a module may
+        return a tensor, a deep-supervision tuple/list, or a dict — downstream
+        always sees the largest-spatial-volume logits."""
+        from ..utils.outputs import select_main_logits
+
         wrap = self.forward_wrap
 
         def forward(variables, x, train=False, mutable=False):
             def run(z):
                 if mutable:
-                    return apply_fn(variables, z, train=train, mutable=["batch_stats"])
-                return apply_fn(variables, z, train=train), None
+                    out, mut = apply_fn(variables, z, train=train, mutable=["batch_stats"])
+                    return select_main_logits(out), mut
+                return select_main_logits(apply_fn(variables, z, train=train)), None
 
             if wrap == "plain":
                 y, mut = run(x)

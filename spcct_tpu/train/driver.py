@@ -59,6 +59,23 @@ def _accum_to_dict(prefix: str, acc: MetricAccum) -> Dict[str, float]:
     return dict(zip(metric_names(prefix, NUM_CLASSES), [float(v) for v in vals]))
 
 
+def _compute_readout(variant, example, n_params) -> str:
+    """Params + MACs + FLOPs text block (reference _save_compute_readout,
+    train.py:1272-1396 writes Params/MACs/FLOPs per run). FLOPs come from
+    XLA's cost analysis of the lowered forward at the run's input shape;
+    MACs use the reference convention FLOPs = 2*MACs."""
+    lines = [f"Model: {variant}", f"Params: {n_params / 1e6:.3f} M"]
+    try:
+        from ..analysis.profiling import forward_flops
+        b, f, hw = example.shape[0], example.shape[1], example.shape[2]
+        flops = forward_flops(variant, int(b), int(f), int(hw))
+        lines += [f"MACs: {flops / 2 / 1e9:.3f} G", f"FLOPs: {flops / 1e9:.3f} G",
+                  f"Input: {tuple(example.shape)}"]
+    except Exception as e:  # params-only fallback, like the reference's
+        lines += [f"FLOPs: unavailable ({e})"]
+    return "\n".join(lines) + "\n"
+
+
 def fit(
     variant: str,
     seed: int,
@@ -100,8 +117,7 @@ def fit(
     n_params = param_count(state.params)
     (log_root / "logs").mkdir(parents=True, exist_ok=True)
     (log_root / "model_compute.txt").write_text(
-        f"Model: {variant}\nParams: {n_params/1e6:.3f} M\n"
-    )
+        _compute_readout(variant, example, n_params))
 
     train_step, eval_step = make_steps(recipe, optimizer, mesh=mesh,
                                        remat=recipe.remat)
@@ -184,8 +200,11 @@ def fit(
             meta["best_metric"] = best_metric
             ckpt.save("best", tree, meta)
 
+        # render after every VIZ_EVERY *completed* training epochs (the
+        # reference's VisualizeEveryNEpochsBuffered fires every N epochs of
+        # training, train.py:1137-1165 — not on the untrained epoch 0)
         if viz_hook is not None and not (SKIP_VIZ or FAST_SKIP_VIZ) and \
-                (epoch % VIZ_EVERY == 0):
+                ((epoch + 1) % VIZ_EVERY == 0):
             try:
                 viz_hook(recipe, tree, dm, epoch, log_root)
             except Exception as e:
@@ -225,6 +244,11 @@ def evaluate_test(
     acc = MetricAccum.zeros(n_metrics)
     detail_rows = []
     slow_stats = None if FAST_SIMPLE_METRICS else _SlowStats(NUM_CLASSES)
+    # scan-level presence labels (reference train.py:379-501; its call site is
+    # commented out at 1558-1570 — here it runs behind SPCCT_SCAN_LABELS=1)
+    scan_labels = os.getenv("SPCCT_SCAN_LABELS", "0") == "1"
+    scan_preds: list = []
+    scan_gts: list = []
 
     case_idx = 0
     batches = 0
@@ -262,12 +286,21 @@ def evaluate_test(
             probs = _softmax_np(logits)
             for b in range(xb.shape[0]):
                 slow_stats.update(probs[b], yb[b])
+        if scan_labels:
+            preds = logits.argmax(-1).astype(np.int16)
+            for b in range(xb.shape[0]):
+                scan_preds.append(preds[b])
+                scan_gts.append(yb[b])
 
     test_metrics = _accum_to_dict("test", acc)
     row = {"model": variant, "seed": seed, **test_metrics}
     if slow_stats is not None:
         row.update(slow_stats.finalize())
     append_row_csv(log_root / "logs" / "test_metrics.csv", row)
+
+    if scan_labels and scan_preds:
+        from ..analysis.scan_labels import write_scan_labels
+        write_scan_labels(scan_preds, scan_gts, log_root / "scan_labels.csv")
 
     if detail_rows:
         import csv

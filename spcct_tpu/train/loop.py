@@ -71,12 +71,16 @@ def make_steps(
     apply_fn = recipe.apply_fn()
     if remat:
         # gradient checkpointing (reference SwinUNETR use_checkpoint=True,
-        # config.py:378): remat the array path only — flags stay static
+        # config.py:378). Both paths are rematerialized: the mutable
+        # (BatchNorm) path checkpoints the (logits, mutated-vars) pytree, so
+        # the flag is honored on BN models too instead of silently no-oping.
         base_apply = apply_fn
 
         def apply_fn(variables, x, train=False, mutable=False):
             if mutable:
-                return base_apply(variables, x, train=train, mutable=mutable)
+                return jax.checkpoint(
+                    lambda v, z: base_apply(v, z, train=train, mutable=mutable)
+                )(variables, x)
             return jax.checkpoint(
                 lambda v, z: base_apply(v, z, train=train))(variables, x)
     forward = recipe.wrap_forward(apply_fn)
@@ -161,7 +165,7 @@ class EarlyStopping:
         """Returns True when training should stop."""
         if value is None or not np.isfinite(value):
             self.bad_epochs += 1
-            return self.bad_epochs > self.patience
+            return self.bad_epochs >= self.patience
         improved = (
             self.best is None
             or (self.mode == "max" and value > self.best + self.min_delta)
@@ -172,7 +176,9 @@ class EarlyStopping:
             self.bad_epochs = 0
         else:
             self.bad_epochs += 1
-        return self.bad_epochs > self.patience
+        # Lightning stops when wait_count >= patience (not >) — 12 bad epochs
+        # with the default patience, matching reference train.py:1451-1458.
+        return self.bad_epochs >= self.patience
 
 
 class PlateauScheduler:

@@ -61,12 +61,12 @@ def test_set_learning_rate_roundtrip():
     assert abs(get_learning_rate(new) - 5e-4) < 1e-9
 
 
-def test_early_stopping_reference_semantics():
+def test_early_stopping_lightning_semantics():
+    # Lightning stops when wait_count >= patience (reference train.py:1451-1458)
     es = EarlyStopping(patience=2, min_delta=1e-3)
     assert not es.update(0.5)
     assert not es.update(0.5005)  # below min_delta → bad epoch 1
-    assert not es.update(0.5006)  # bad epoch 2
-    assert es.update(0.5007)      # bad epoch 3 > patience → stop
+    assert es.update(0.5006)      # bad epoch 2 >= patience → stop
     es2 = EarlyStopping(patience=2, min_delta=1e-3)
     es2.update(0.5)
     es2.update(0.6)               # improvement resets
@@ -120,13 +120,14 @@ def test_torch_adam_wd_matches_torch():
     np.testing.assert_allclose(np.asarray(p), tw.detach().numpy(), atol=1e-6)
 
 
-def test_fit_and_resume(tmp_path):
+def test_fit_and_resume(tmp_path, monkeypatch):
     """2-epoch fit writes last/best checkpoints and metrics.csv; a rerun with
     a higher epoch budget resumes from `last` instead of restarting."""
     from spcct_tpu.data.pipeline import SpcctDataModule3D
     from spcct_tpu.config import trainval_sets
     from spcct_tpu.train import driver
 
+    monkeypatch.setenv("SPCCT_SCAN_LABELS", "1")
     dm = SpcctDataModule3D(trainval_sets[:1], batch_size=2, num_frames=5)
     res = driver.fit("PlainCore_UNet", 42, max_epochs=2, dm=dm,
                      log_root=tmp_path / "logs", ckpt_root=tmp_path / "ckpt",
@@ -134,8 +135,15 @@ def test_fit_and_resume(tmp_path):
     assert "test_macro_dice" in res
     sdir = tmp_path / "ckpt" / "PlainCore_UNet" / "seed42"
     assert (sdir / "last").exists() and (sdir / "meta.json").exists()
-    assert (tmp_path / "logs" / "PlainCore_UNet" / "seed42" / "logs" / "metrics.csv").exists()
-    assert (tmp_path / "logs" / "PlainCore_UNet" / "seed42" / "test_details.csv").exists()
+    run_dir = tmp_path / "logs" / "PlainCore_UNet" / "seed42"
+    assert (run_dir / "logs" / "metrics.csv").exists()
+    assert (run_dir / "test_details.csv").exists()
+    # SPCCT_SCAN_LABELS=1 wiring (reference train.py:379-501)
+    scan_csv = (run_dir / "scan_labels.csv").read_text()
+    assert scan_csv.startswith("case,pred_BG") and len(scan_csv.splitlines()) > 1
+    # model_compute.txt carries Params AND MACs/FLOPs (reference train.py:1272-1396)
+    compute = (run_dir / "model_compute.txt").read_text()
+    assert "Params:" in compute and "FLOPs:" in compute and "MACs:" in compute
 
     # resume: epoch counter continues from 2
     res2 = driver.fit("PlainCore_UNet", 42, max_epochs=3, dm=dm,
