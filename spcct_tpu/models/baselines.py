@@ -125,19 +125,24 @@ class ResUNetPP3D(nn.Module):
         b = ASPP3D(c[4], name="b_aspp", dtype=self.dtype)(b)
         b = ru(c[4], "b_out")(b)
 
+        # Attention-gate argument order matches the reference exactly: the
+        # call is ag4(u4, se4(e4)) with AttentionGate.forward(x_skip, g)
+        # (models.py:637-645, 1352-1355) — so the UPSAMPLED feature u is what
+        # gets gated (and concatenated with itself); the SE'd encoder feature
+        # only drives the gate.
         u4 = ConvTranspose3d(c[3], name="up4", dtype=self.dtype)(b)
         s4 = AttentionGate(c[3] // 2, name="ag4", dtype=self.dtype)(
-            SE3D(name="se4", dtype=self.dtype)(e4), u4)
+            u4, SE3D(name="se4", dtype=self.dtype)(e4))
         d4 = ru(c[3], "d4")(jnp.concatenate([u4, s4], -1))
 
         u3 = ConvTranspose3d(c[2], name="up3", dtype=self.dtype)(d4)
         s3 = AttentionGate(c[2] // 2, name="ag3", dtype=self.dtype)(
-            SE3D(name="se3", dtype=self.dtype)(e3), u3)
+            u3, SE3D(name="se3", dtype=self.dtype)(e3))
         d3 = ru(c[2], "d3")(jnp.concatenate([u3, s3], -1))
 
         u2 = ConvTranspose3d(c[1], name="up2", dtype=self.dtype)(d3)
         s2 = AttentionGate(c[1] // 2, name="ag2", dtype=self.dtype)(
-            SE3D(name="se2", dtype=self.dtype)(e2), u2)
+            u2, SE3D(name="se2", dtype=self.dtype)(e2))
         d2 = ru(c[1], "d2")(jnp.concatenate([u2, s2], -1))
 
         u1 = ConvTranspose3d(c[0], name="up1", dtype=self.dtype)(d2)

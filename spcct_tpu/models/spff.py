@@ -194,16 +194,20 @@ class UNet3DSpectralCore(nn.Module):
         e3 = self._post(DoubleConvSpectral(4 * f, name="enc3", **dcs)(max_pool_3d(e2, P), train), 2)
         b = self._post(DoubleConvSpectral(8 * f, name="bott", **dcs)(max_pool_3d(e3, P), train), 3)
 
+        # Gated-skip argument order matches the reference exactly: the call is
+        # g3(d3, e3) with AttentionGate.forward(x_skip, g) (models.py:637-645,
+        # 698-700) — so the UPSAMPLED feature d is what gets gated (and then
+        # concatenated with itself); the encoder feature only drives the gate.
         d3 = ConvTranspose3d(4 * f, (1, 2, 2), (1, 2, 2), name="up3", dtype=self.dtype)(b)
-        s3 = AttentionGate(2 * f, name="g3", dtype=self.dtype)(e3, d3) if self.use_skip_gate else e3
+        s3 = AttentionGate(2 * f, name="g3", dtype=self.dtype)(d3, e3) if self.use_skip_gate else e3
         d3 = DoubleConvSpectral(4 * f, name="dec3", **dcs)(self._cat(d3, s3), train)
 
         d2 = ConvTranspose3d(2 * f, (1, 2, 2), (1, 2, 2), name="up2", dtype=self.dtype)(d3)
-        s2 = AttentionGate(f, name="g2", dtype=self.dtype)(e2, d2) if self.use_skip_gate else e2
+        s2 = AttentionGate(f, name="g2", dtype=self.dtype)(d2, e2) if self.use_skip_gate else e2
         d2 = DoubleConvSpectral(2 * f, name="dec2", **dcs)(self._cat(d2, s2), train)
 
         d1 = ConvTranspose3d(f, (1, 2, 2), (1, 2, 2), name="up1", dtype=self.dtype)(d2)
-        s1 = AttentionGate(f // 2, name="g1", dtype=self.dtype)(e1, d1) if self.use_skip_gate else e1
+        s1 = AttentionGate(f // 2, name="g1", dtype=self.dtype)(d1, e1) if self.use_skip_gate else e1
         d1 = DoubleConvSpectral(f, name="dec1", **dcs)(self._cat(d1, s1), train)
 
         out = Conv3d(self.num_classes, (1, 1, 1), name="out", dtype=self.dtype)(d1)
