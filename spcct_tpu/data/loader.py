@@ -120,14 +120,22 @@ def load_scan(cfg: dict, num_frames: int) -> Tuple[np.ndarray, np.ndarray]:
         hw = (SYNTHETIC_IMAGE_HW, SYNTHETIC_IMAGE_HW)
         return synth_scan(cfg, num_frames, SYNTHETIC_SLICES_PER_SCAN, hw, seed)
 
-    import pydicom
+    # pydicom when available (full format coverage); otherwise the built-in
+    # minimal codec (data/dicom_lite.py: uncompressed little-endian, which is
+    # what the SPCCT export produces).
+    try:
+        import pydicom
+
+        def _read(fn):
+            return pydicom.dcmread(fn).pixel_array
+    except ImportError:
+        from .dicom_lite import read_dicom as _read
 
     hw = (IMAGE_HEIGHT, IMAGE_WIDTH)
     lbl2d = paint_labels(cfg, hw)
     imgs, lbls = [], []
     for fn in paths:
-        ds = pydicom.dcmread(fn)
-        frames = ds.pixel_array
+        frames = _read(fn)
         if frames.ndim == 2:
             frames = frames[None]
         n = min(frames.shape[0], num_frames)
