@@ -50,7 +50,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device_put a host batch with the batch axis sharded over 'data'."""
+    """Device_put a host batch with the batch axis sharded over 'data'.
+
+    Multi-host aware: with >1 controller process, each host feeds only its
+    contiguous slice of the global batch (per-host sharded input feeding —
+    jax.make_array_from_process_local_data assembles the global array).
+    The caller passes the same globally-ordered batch on every host; the
+    slice-then-assemble keeps host->device traffic to 1/process_count.
+    """
+    if jax.process_count() > 1:
+        from .distributed import make_global_batch, process_shard
+
+        gb = jax.tree.leaves(batch)[0].shape[0]
+        sl = process_shard(gb)
+        local = jax.tree.map(lambda a: np.asarray(a)[sl], batch)
+        return make_global_batch(local, mesh, gb)
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
 

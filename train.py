@@ -51,6 +51,12 @@ def main(argv=None):
     from spcct_tpu.utils.jax_cache import enable as _enable_cache
     _enable_cache()
 
+    # multi-host: must precede any jax backend touch. No-op unless
+    # SPCCT_COORDINATOR/SPCCT_NUM_PROCESSES (or SPCCT_AUTO_DISTRIBUTED=1 on a
+    # TPU pod) are set — see spcct_tpu/parallel/distributed.py.
+    from spcct_tpu.parallel.distributed import initialize_from_env
+    multihost = initialize_from_env()
+
     from spcct_tpu.config import LOG_DIR, SEEDS, SELECTED_VARIANT, ensure_dirs
     from spcct_tpu.models.recipes import VARIANT_NAMES
     from spcct_tpu.train.driver import fit
@@ -68,9 +74,11 @@ def main(argv=None):
     seeds = [int(s) for s in seeds_env.split(",")] if seeds_env else SEEDS
 
     mesh = None
-    if args.mesh:
+    if args.mesh or multihost:
         from spcct_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
+    import jax
+    is_rank0 = jax.process_index() == 0
 
     for name in variants:
         if name not in VARIANT_NAMES:
@@ -81,12 +89,13 @@ def main(argv=None):
             from spcct_tpu.analysis.viz import viz_epoch
             res = fit(name, seed, max_epochs=args.epochs, mesh=mesh,
                       batch_size=args.batch_size, viz_hook=viz_epoch)
-            append_row_csv(LOG_DIR / "all_results.csv", {
-                "model": name, "seed": seed,
-                "test_macro_dice": res.get("test_macro_dice"),
-                "test_micro_dice": res.get("test_micro_dice"),
-                "test_loss": res.get("test_loss"),
-            })
+            if is_rank0:  # rank-zero CSV writes (reference rank_zero_only loggers)
+                append_row_csv(LOG_DIR / "all_results.csv", {
+                    "model": name, "seed": seed,
+                    "test_macro_dice": res.get("test_macro_dice"),
+                    "test_micro_dice": res.get("test_micro_dice"),
+                    "test_loss": res.get("test_loss"),
+                })
     return 0
 
 
