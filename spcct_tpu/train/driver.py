@@ -215,6 +215,7 @@ def fit(
             stop = True
             break
 
+    ckpt.flush()  # finalize pending async saves before anyone reads the dir
     print(f"[{variant}/seed{seed}] training done in {time.time() - t_run:.1f}s")
 
     if not run_test:
