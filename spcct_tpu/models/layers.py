@@ -40,6 +40,15 @@ import os as _os
 _FAST_WGRAD = _os.getenv("SPCCT_FAST_WGRAD", "0") == "1"
 
 
+def _use_pallas_conv() -> bool:
+    """CW-layout Pallas conv kernels (ops/pallas_conv.py) for the SAME/stride-1
+    (kd,3,3) body convs: the isolated kernel is ~4x XLA at the Cout=32
+    full-resolution level (the MXU-lane-occupancy fix), but the end-to-end
+    step currently loses to XLA on layout boundaries (see BASELINE.md perf
+    log) — default OFF until the integration nets a win."""
+    return _os.getenv("SPCCT_PALLAS_CONV") == "1"
+
+
 class _RawConv(nn.Module):
     """Parameter-owning conv core (named 'Conv_0' by Conv3d for checkpoint
     compatibility with the previous nn.Conv-based layout)."""
@@ -59,9 +68,17 @@ class _RawConv(nn.Module):
                             self.kernel_size + (cin, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
         xc = x.astype(self.dtype)
-        symmetric = (self.padding is None or self.padding ==
-                     [(kk // 2, kk // 2) for kk in self.kernel_size])
-        if (_FAST_WGRAD and symmetric and self.strides == (1, 1, 1)
+        # flax freezes list attrs to (nested) tuples — normalize before compare
+        symmetric = (self.padding is None or
+                     tuple(map(tuple, self.padding)) ==
+                     tuple((kk // 2, kk // 2) for kk in self.kernel_size))
+        from ..ops import pallas_conv as _pc
+        if (symmetric and self.dtype == jnp.bfloat16 and _use_pallas_conv()
+                and _pc._supported(x.shape, k.shape, self.strides,
+                                   self.dilation, None)
+                and _pc._profitable(x.shape, k.shape)):
+            y = _pc.conv3d_spectral(xc, k)
+        elif (_FAST_WGRAD and symmetric and self.strides == (1, 1, 1)
                 and self.dilation == (1, 1, 1)):
             from ..ops.fast_conv import conv3d_fast
             y = conv3d_fast(xc, k)

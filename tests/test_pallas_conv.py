@@ -1,0 +1,65 @@
+# Parity tests for the CW-layout Pallas conv kernels (ops/pallas_conv.py)
+# against lax.conv_general_dilated — forward, input-grad, and weight-grad.
+# Run in Pallas interpret mode on the CPU test backend; the same kernels
+# compile natively on TPU (validated by scripts/pallas_conv_proto.py).
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spcct_tpu.ops import pallas_conv as pc
+
+
+def _ref_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return np.max(np.abs(a - b)) / max(1e-6, np.max(np.abs(b)))
+
+
+@pytest.mark.parametrize("kd,cin,cout,B", [(3, 8, 8, 1), (1, 8, 16, 1), (3, 8, 8, 2)])
+def test_forward_parity(kd, cin, cout, B):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, 5, 8, 128, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((kd, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    y = pc.conv3d_spectral(x.astype(jnp.bfloat16), w)
+    y_ref = _ref_conv(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    assert y.shape == y_ref.shape
+    assert _rel_err(y, y_ref) < 3e-2  # bf16 inputs, f32 accumulation
+
+
+def test_grad_parity():
+    rng = np.random.default_rng(1)
+    B, F, H, W, C, CO = 1, 5, 8, 128, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, F, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, C, CO)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, F, H, W, CO)), jnp.float32)
+
+    def f_pallas(x, w):
+        return jnp.vdot(pc.conv3d_spectral(x.astype(jnp.bfloat16), w).astype(jnp.float32), g)
+
+    def f_ref(x, w):
+        return jnp.vdot(_ref_conv(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)), g)
+
+    dx_p, dw_p = jax.grad(f_pallas, argnums=(0, 1))(x, w)
+    dx_r, dw_r = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    assert _rel_err(dx_p, dx_r) < 3e-2
+    assert _rel_err(dw_p, dw_r) < 3e-2
+
+
+def test_supported_gates():
+    ok = ((1, 5, 8, 128, 8), (3, 3, 3, 8, 8))
+    assert pc._supported(ok[0], ok[1], (1, 1, 1), (1, 1, 1), None)
+    # 1x1x1 head conv, odd widths, stride, dilation all excluded
+    assert not pc._supported(ok[0], (1, 1, 1, 8, 13), (1, 1, 1), (1, 1, 1), None)
+    assert not pc._supported((1, 5, 8, 100, 8), ok[1], (1, 1, 1), (1, 1, 1), None)
+    assert not pc._supported(ok[0], ok[1], (1, 2, 2), (1, 1, 1), None)
+    assert not pc._supported(ok[0], ok[1], (1, 1, 1), (2, 2, 2), None)
+    assert not pc._supported(ok[0], (3, 3, 3, 8, 13), (1, 1, 1), (1, 1, 1), None)
