@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -129,8 +130,11 @@ def make_steps(
             out_shardings=(rep, rep), donate_argnums=(1,),
         )
     else:
-        train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        eval_step = jax.jit(eval_step, donate_argnums=(1,))
+        # SPCCT_NO_DONATE=1: measurement knob — isolates donation/custom-call
+        # buffer-aliasing interactions (see BASELINE.md perf log)
+        don = () if os.getenv("SPCCT_NO_DONATE") == "1" else (0, 1)
+        train_step = jax.jit(train_step, donate_argnums=don)
+        eval_step = jax.jit(eval_step, donate_argnums=(1,) if don else ())
     return train_step, eval_step
 
 
