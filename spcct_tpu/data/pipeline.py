@@ -257,6 +257,57 @@ class SpcctDataModule3D:
         gen = self._batches(self.train_set, idx, rng, self.batch_size)
         return _Prefetcher(gen) if prefetch else gen
 
+    # ── device-resident mode ───────────────────────────────────
+    # The tunneled host→device link moves ~41 MB/s (BASELINE.md round-2), so
+    # per-step batch shipping dominates the train step. In device mode the
+    # whole train/val split lives in HBM and only per-sample augmentation
+    # parameters (~5 KB/step) cross the link; data/device_aug.py applies them
+    # in a jitted gather/elementwise pass.
+    _dev = None
+
+    def device_capable(self) -> bool:
+        if self.use_vmi or self.patch_hw is not None or self.train_set is None:
+            return False
+        s = np.asarray(self.train_set.images[0]).shape
+        return s[-1] == s[-2]  # rot90 under jit needs square H == W
+
+    def setup_device(self):
+        if self._dev is not None:
+            return
+        import jax.numpy as jnp
+
+        def push(ds):
+            img = np.stack([np.asarray(i, np.float32) for i in ds.images])
+            lbl = np.stack([np.asarray(l) for l in ds.labels])
+            lbl = np.where(lbl >= NUM_CLASSES, IGNORE_INDEX, lbl).astype(np.int32)
+            return jax.device_put(jnp.asarray(img)), jax.device_put(jnp.asarray(lbl))
+
+        self._dev = {"train": push(self.train_set), "val": push(self.val_set)}
+
+    def train_param_batches(self, seed: int, epoch: int):
+        """Device-mode counterpart of train_batches: yields (idx, params)
+        pairs; same epoch shuffle stream, augmentation decisions drawn from
+        the same generator (different stream position than the host path —
+        documented in device_aug.py)."""
+        from .device_aug import draw_params
+
+        rng = np.random.default_rng((seed, epoch, 0xA5))
+        idx = rng.permutation(len(self.train_set))
+        aug = self.train_set.transform
+        H, W = np.asarray(self.train_set.images[0]).shape[-2:]
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            plist = [draw_params(aug, H, W, self.train_set.grid_sizes[int(i)],
+                                 rng, noise_seed=int(rng.integers(0, 2 ** 32)))
+                     for i in chunk]
+            params = {k: np.stack([p[k] for p in plist]) for k in plist[0]}
+            yield np.asarray(chunk, np.int32), params
+
+    def val_index_batches(self):
+        n = len(self.val_set)
+        for start in range(0, n, self.batch_size):
+            yield np.arange(start, min(start + self.batch_size, n), dtype=np.int32)
+
     def val_batches(self, prefetch: bool = True):
         rng = np.random.default_rng(0)
         idx = np.arange(len(self.val_set))

@@ -152,20 +152,47 @@ def fit(
     epoch = start_epoch
     epoch_times: list = []
 
+    # device-resident data mode: the tunneled host→device link is ~41 MB/s
+    # (slower than the train step itself at full resolution), so on TPU the
+    # dataset lives in HBM and only augmentation parameters are shipped
+    # per step (data/device_aug.py). SPCCT_DEVICE_DATA=0/1 overrides.
+    dev_env = os.getenv("SPCCT_DEVICE_DATA")
+    use_device_data = (mesh is None and dm.device_capable() and
+                       (dev_env == "1" if dev_env is not None
+                        else jax.default_backend() == "tpu"))
+    if use_device_data:
+        dm.setup_device()
+        from ..data.device_aug import device_batch, device_batch_plain
+        print(f"[{variant}/seed{seed}] device-resident data: "
+              f"{len(dm.train_set)} train + {len(dm.val_set)} val samples in HBM")
+
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         acc = MetricAccum.zeros(n_metrics)
         nsteps = 0
-        for x, y in dm.train_batches(seed, epoch):
-            x, y = _put(np.asarray(x), np.asarray(y))
-            tree, acc = train_step(tree, acc, x, y)
-            nsteps += 1
+        if use_device_data:
+            di, dl = dm._dev["train"]
+            for idx, params in dm.train_param_batches(seed, epoch):
+                x, y = device_batch(di, dl, idx, params)
+                tree, acc = train_step(tree, acc, x, y)
+                nsteps += 1
+        else:
+            for x, y in dm.train_batches(seed, epoch):
+                x, y = _put(np.asarray(x), np.asarray(y))
+                tree, acc = train_step(tree, acc, x, y)
+                nsteps += 1
         train_metrics = _accum_to_dict("train", acc)
 
         vacc = MetricAccum.zeros(n_metrics)
-        for x, y in dm.val_batches():
-            x, y = _put(np.asarray(x), np.asarray(y))
-            vacc, _ = eval_step(tree, vacc, x, y)
+        if use_device_data:
+            vi, vlb = dm._dev["val"]
+            for idx in dm.val_index_batches():
+                x, y = device_batch_plain(vi, vlb, idx)
+                vacc, _ = eval_step(tree, vacc, x, y)
+        else:
+            for x, y in dm.val_batches():
+                x, y = _put(np.asarray(x), np.asarray(y))
+                vacc, _ = eval_step(tree, vacc, x, y)
         val_metrics = _accum_to_dict("val", vacc)
         val_macro = val_metrics.get("val_macro_dice", float("nan"))
 
