@@ -18,12 +18,22 @@
 #     draws with the same marginal distribution.
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ..config import GRID_STAMP
+
+# SPCCT_NATIVE_AUG=1 routes the jitter+noise elementwise tail through the
+# C++ fused pass (runtime/spcct_data.cpp::stamp_and_noise). Jitter-only is
+# bit-identical to the numpy path; the gaussian noise FIELD comes from the
+# native mt19937_64 stream instead of the np.Generator stream (same
+# distribution, different draws) — hence opt-in, keeping the default path's
+# seeded-stream reproducibility. Off the TPU critical path since device-mode
+# augmentation (data/device_aug.py); relevant for host-only training.
+_NATIVE_AUG = os.getenv("SPCCT_NATIVE_AUG", "0") == "1"
 
 
 def generate_cumulative_grid_sizes(
@@ -133,16 +143,28 @@ class TrainGridAug:
                 lbl = np.rot90(lbl, k, axes=(-2, -1))
 
         # intensity jitter ±10% scale, ±0.05 shift (datasets.py:178-181)
+        scale, shift = 1.0, 0.0
         if rng.random() < self.jitter_p:
             scale = 1.0 + 0.1 * (2 * rng.random() - 1)
             shift = 0.05 * (2 * rng.random() - 1)
-            img = img * scale + shift
 
         # gaussian noise, std = min(noise_std, 0.25 * std(x)) (datasets.py:184-188)
-        if rng.random() < self.noise_p:
-            v = float(img.std())
-            if v > 0:
-                std = min(self.noise_std, 0.25 * v)
+        use_noise = rng.random() < self.noise_p
+        # post-jitter std without materializing: std(a*x+b) = |a|*std(x)
+        v = abs(scale) * float(img.std()) if use_noise else 0.0
+        std = min(self.noise_std, 0.25 * v) if (use_noise and v > 0) else 0.0
+
+        from ..runtime.native import lib as _native_lib
+        if _NATIVE_AUG and _native_lib is not None and img.ndim == 3 and \
+                (scale != 1.0 or shift != 0.0 or std > 0.0):
+            img = np.ascontiguousarray(img, np.float32)
+            _native_lib.stamp_and_noise(
+                img, *img.shape, np.float32(scale), np.float32(shift),
+                np.float32(std), np.uint64(rng.integers(0, 2 ** 63)))
+        else:
+            if scale != 1.0 or shift != 0.0:
+                img = img * scale + shift
+            if std > 0.0:
                 img = img + rng.standard_normal(img.shape).astype(np.float32) * std
 
         # grid-shuffle with per-sample gs (datasets.py:191-197)
