@@ -116,16 +116,20 @@ def _apply_one(img: jnp.ndarray, lbl: jnp.ndarray, p) -> Tuple[jnp.ndarray, jnp.
     return img, lbl
 
 
-@jax.jit
-def device_batch(images: jnp.ndarray, labels: jnp.ndarray, idx: jnp.ndarray,
-                 params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def batch_from_params(images: jnp.ndarray, labels: jnp.ndarray,
+                      idx: jnp.ndarray, params) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather batch `idx` from the device-resident (N,F,H,W)/(N,F,H,W) arrays
     and apply per-sample augmentation. Returns ((B,F,H,W,1) f32, (B,F,H,W) i32)
-    — the train-step input contract."""
+    — the train-step input contract. Unjitted so it composes into larger
+    compiled programs (train/loop.py make_scan_epoch); device_batch is the
+    standalone jitted form."""
     img = images[idx]                       # (B,F,H,W)
     lbl = labels[idx]
     img, lbl = jax.vmap(_apply_one)(img, lbl, params)
     return img[..., None], lbl
+
+
+device_batch = jax.jit(batch_from_params)
 
 
 @jax.jit

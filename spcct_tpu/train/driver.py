@@ -165,12 +165,34 @@ def fit(
         from ..data.device_aug import device_batch, device_batch_plain
         print(f"[{variant}/seed{seed}] device-resident data: "
               f"{len(dm.train_set)} train + {len(dm.val_set)} val samples in HBM")
+    # one-dispatch compiled epochs (scan over steps) — needs device data;
+    # SPCCT_SCAN_EPOCH=0/1 overrides (default off pending measurement)
+    use_scan_epoch = use_device_data and os.getenv("SPCCT_SCAN_EPOCH") == "1"
+    if use_scan_epoch:
+        from .loop import make_scan_epoch
+        train_epoch_fn = make_scan_epoch(recipe, optimizer, remat=recipe.remat)
 
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         acc = MetricAccum.zeros(n_metrics)
         nsteps = 0
-        if use_device_data:
+        if use_scan_epoch:
+            di, dl = dm._dev["train"]
+            pairs = list(dm.train_param_batches(seed, epoch))
+            # scan needs uniform batch shapes: full batches go through the
+            # one-dispatch epoch, a ragged tail through the per-step path
+            bs = pairs[0][0].shape[0]
+            full = [p for p in pairs if p[0].shape[0] == bs]
+            tail = [p for p in pairs if p[0].shape[0] != bs]
+            idxs = np.stack([i for i, _ in full])
+            params = {k: np.stack([p[k] for _, p in full]) for k in full[0][1]}
+            tree, acc = train_epoch_fn(tree, acc, di, dl, idxs, params)
+            nsteps += len(full)
+            for idx, p in tail:
+                x, y = device_batch(di, dl, idx, p)
+                tree, acc = train_step(tree, acc, x, y)
+                nsteps += 1
+        elif use_device_data:
             di, dl = dm._dev["train"]
             for idx, params in dm.train_param_batches(seed, epoch):
                 x, y = device_batch(di, dl, idx, params)

@@ -69,6 +69,68 @@ def make_steps(
     train_step(state_tree, x, y) -> (new_state_tree, metric_vec)
     eval_step(state_tree, x, y)  -> (metric_vec, logits)
     """
+    train_step, eval_step = _unjitted_steps(recipe, optimizer, remat)
+
+    if mesh is not None:
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, rep, bsh, bsh),
+            out_shardings=(rep, rep),
+            donate_argnums=(0, 1),
+        )
+        eval_step = jax.jit(
+            eval_step, in_shardings=(rep, rep, bsh, bsh),
+            out_shardings=(rep, rep), donate_argnums=(1,),
+        )
+    else:
+        # SPCCT_NO_DONATE=1: measurement knob — isolates donation/custom-call
+        # buffer-aliasing interactions (see BASELINE.md perf log)
+        don = () if os.getenv("SPCCT_NO_DONATE") == "1" else (0, 1)
+        train_step = jax.jit(train_step, donate_argnums=don)
+        eval_step = jax.jit(eval_step, donate_argnums=(1,) if don else ())
+    return train_step, eval_step
+
+
+def make_scan_epoch(recipe: "Recipe", optimizer: optax.GradientTransformation,
+                    remat: bool = False):
+    """One-dispatch compiled training epoch for device-resident data.
+
+    With the dataset in HBM (data/device_aug.py) there is nothing to feed
+    per step, so the whole epoch — per-step gather + augmentation + train
+    step — compiles into a single lax.scan executable. One dispatch per
+    epoch instead of steps_per_epoch round-trips through the (tunneled)
+    dispatch path. Augmentation parameters for all steps arrive stacked as
+    the scan's xs.
+
+    train_epoch(tree, acc, images, labels, idxs (S,B), params (S,...))
+      -> (tree, acc)
+    """
+    import functools
+
+    from ..data.device_aug import batch_from_params
+
+    inner_train, _ = _unjitted_steps(recipe, optimizer, remat)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(tree, acc, images, labels, idxs, params):
+        def body(carry, xs):
+            tree, acc = carry
+            idx, p = xs
+            x, y = batch_from_params(images, labels, idx, p)
+            tree, acc = inner_train(tree, acc, x, y)
+            return (tree, acc), ()
+        (tree, acc), _ = jax.lax.scan(body, (tree, acc), (idxs, params))
+        return tree, acc
+
+    return train_epoch
+
+
+def _unjitted_steps(recipe, optimizer, remat=False):
+    """The train/eval step bodies without jit wrappers — jitted individually
+    by make_steps, or composed whole into larger compiled programs
+    (make_scan_epoch)."""
     apply_fn = recipe.apply_fn()
     if remat:
         # gradient checkpointing (reference SwinUNETR use_checkpoint=True,
@@ -102,8 +164,6 @@ def make_steps(
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_bs = mut["batch_stats"] if (has_bn and mut) else batch_stats
-        # metric accumulation stays inside the compiled step: one dispatch per
-        # step, no host round-trips (the reference pulls 13x4 counts per step)
         acc = acc.update(metric_vector(loss, logits, y))
         return {"params": new_params, "opt_state": new_opt, "batch_stats": new_bs}, acc
 
@@ -116,25 +176,6 @@ def make_steps(
         loss, _aux = recipe.loss(logits, y)
         return acc.update(metric_vector(loss, logits, y)), logits
 
-    if mesh is not None:
-        bsh = batch_sharding(mesh)
-        rep = replicated(mesh)
-        train_step = jax.jit(
-            train_step,
-            in_shardings=(rep, rep, bsh, bsh),
-            out_shardings=(rep, rep),
-            donate_argnums=(0, 1),
-        )
-        eval_step = jax.jit(
-            eval_step, in_shardings=(rep, rep, bsh, bsh),
-            out_shardings=(rep, rep), donate_argnums=(1,),
-        )
-    else:
-        # SPCCT_NO_DONATE=1: measurement knob — isolates donation/custom-call
-        # buffer-aliasing interactions (see BASELINE.md perf log)
-        don = () if os.getenv("SPCCT_NO_DONATE") == "1" else (0, 1)
-        train_step = jax.jit(train_step, donate_argnums=don)
-        eval_step = jax.jit(eval_step, donate_argnums=(1,) if don else ())
     return train_step, eval_step
 
 

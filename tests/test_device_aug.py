@@ -97,3 +97,21 @@ def test_fit_device_mode(tmp_path, monkeypatch):
               log_root=tmp_path / "logs", ckpt_root=tmp_path / "ck",
               run_test=False)
     assert np.isfinite(res["val_macro_dice"])
+
+
+def test_scan_epoch_matches_per_step(tmp_path, monkeypatch):
+    """SPCCT_SCAN_EPOCH=1 (one-dispatch compiled epoch) must follow the same
+    training trajectory as the per-step device path (identical param stream;
+    scan-vs-loop compilation reorders float reductions, so the match is
+    approximate, not bitwise)."""
+    from spcct_tpu.train.driver import fit
+
+    monkeypatch.setenv("SPCCT_DEVICE_DATA", "1")
+    r1 = fit("PlainCore_UNet", 11, max_epochs=1, log_root=tmp_path / "a",
+             ckpt_root=tmp_path / "cka", run_test=False)
+    monkeypatch.setenv("SPCCT_SCAN_EPOCH", "1")
+    r2 = fit("PlainCore_UNet", 11, max_epochs=1, log_root=tmp_path / "b",
+             ckpt_root=tmp_path / "ckb", run_test=False)
+    assert np.isfinite(r2["val_macro_dice"])
+    np.testing.assert_allclose(r1["val_macro_dice"], r2["val_macro_dice"],
+                               rtol=1e-2, atol=1e-3)
