@@ -315,12 +315,15 @@ def build_registry() -> Dict[str, Recipe]:
         engine=_SPFF_ENGINE,
     ))
 
-    # 9. SP_UNet — SE+SpecSE only, pad-to-16 forward (_LitSPCT_Base)
+    # 9. SP_UNet — SE+SpecSE only, pad-to-16 forward (_LitSPCT_Base).
+    #    remat: the pad16 wrap pads depth 5→16 (3.2x activations); at the
+    #    reference full-resolution config this needs 21.8 GB of activations
+    #    vs 16 GB HBM (measured OOM) — gradient checkpointing fits it.
     add(Recipe(
         name="SP_UNet",
         module=_spct_core(),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
-        forward_wrap="pad16",
+        forward_wrap="pad16", remat=True,
         ckpt_dir=CHECKPOINT_DIR / "SP_UNet",
         engine=_SPFF_ENGINE,
     ))
