@@ -229,12 +229,14 @@ def build_registry() -> Dict[str, Recipe]:
     def add(rec: Recipe):
         r[rec.name] = rec
 
-    # 1. 3DUNet — Cicek depth-adapter, SGD(1e-2, m=.99), weighted CE
+    # 1. 3DUNet — Cicek depth-adapter, SGD(1e-2, m=.99), weighted CE.
+    #    remat: the depth16 adapter resizes depth 5→16 (3.2x activations) and
+    #    the step ResourceExhausts 16 GB HBM at full resolution without it.
     add(Recipe(
         name="3DUNet",
         module=Cicek3DUNet(num_classes=NUM_CLASSES, base=32, use_bn=True, dtype=jnp.bfloat16),
         loss=_cicek_loss, opt_kind="sgd", lr=1e-2, momentum=0.99,
-        forward_wrap="depth16", full_metrics=False,
+        forward_wrap="depth16", full_metrics=False, remat=True,
         ckpt_dir=CHECKPOINT_DIR / "3DUNet",
     ))
 
@@ -250,12 +252,14 @@ def build_registry() -> Dict[str, Recipe]:
         ckpt_dir=CHECKPOINT_DIR / "UNETR",
     ))
 
-    # 3. R2UNet3D — base 16, t=2, Adam 1e-3, dice-only
+    # 3. R2UNet3D — base 16, t=2, Adam 1e-3, dice-only. remat: pad16 pads
+    #    depth 5→16 and the recurrent units hold t+1 copies per block —
+    #    gradient checkpointing keeps full-resolution within 16 GB HBM.
     add(Recipe(
         name="R2UNet3D",
         module=R2UNet3D(num_classes=NUM_CLASSES, base=16, t=2, dtype=jnp.bfloat16),
         loss=_r2u_loss, opt_kind="adam", lr=1e-3,
-        forward_wrap="pad16", full_metrics=False,
+        forward_wrap="pad16", full_metrics=False, remat=True,
         ckpt_dir=CHECKPOINT_DIR / "R2UNet3D",
     ))
 
@@ -279,12 +283,13 @@ def build_registry() -> Dict[str, Recipe]:
         ckpt_dir=CHECKPOINT_DIR / "SwinUNETR",
     ))
 
-    # 5. ResUNet++ — base 16, Adam 1e-4 wd 1e-5 (torch-style), Dice+CE .5/.5
+    # 5. ResUNet++ — base 16, Adam 1e-4 wd 1e-5 (torch-style), Dice+CE .5/.5.
+    #    remat: pad16 depth padding, same 16 GB HBM rationale as R2UNet3D.
     add(Recipe(
         name="ResUNet++",
         module=ResUNetPP3D(num_classes=NUM_CLASSES, base=16, dtype=jnp.bfloat16),
         loss=_resunetpp_loss, opt_kind="torch_adam_wd", lr=1e-4, weight_decay=1e-5,
-        forward_wrap="pad16", full_metrics=False,
+        forward_wrap="pad16", full_metrics=False, remat=True,
         ckpt_dir=CHECKPOINT_DIR / "ResUNet++",
     ))
 
