@@ -13,6 +13,9 @@ cd "$(dirname "$0")/.."
 DEADLINE="${1:-0}"
 export CHECKPOINT_DIR="${CHECKPOINT_DIR:-$PWD/runs_protocol/checkpoints}"
 export LOG_DIR="${LOG_DIR:-$PWD/runs_protocol/logs}"
+# device->host checkpoint pulls run ~41 MB/s here; save 'last' every 5
+# epochs (resume granularity only; 'best' still saved on every improvement)
+export SPCCT_CKPT_EVERY="${SPCCT_CKPT_EVERY:-5}"
 EPOCHS="${EPOCHS:-25}"
 SEEDS=(42 123 999)
 # priority order: flagship + control first, then ablations, then baselines

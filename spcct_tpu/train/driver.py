@@ -239,15 +239,25 @@ def fit(
                 tree["opt_state"] = set_learning_rate(tree["opt_state"], new_lr)
                 print(f"[{variant}/seed{seed}] plateau: lr -> {new_lr:.2e}")
 
-        # checkpoints: last every epoch, best on val_macro_dice max
+        # checkpoints: last every SPCCT_CKPT_EVERY epochs (default 1 =
+        # reference parity; the tunneled device->host pull runs ~41 MB/s, so
+        # large-model saves cost tens of seconds — raising the interval only
+        # coarsens crash-resume granularity), best on val_macro_dice max.
         meta = {"epoch": epoch, "val_macro_dice": float(val_macro),
                 "best_metric": float(best_metric),
                 "lr": plateau.lr if plateau else recipe.lr}
-        ckpt.save("last", tree, meta)
+        ckpt_every = max(1, int(os.getenv("SPCCT_CKPT_EVERY", "1")))
+        if (epoch + 1) % ckpt_every == 0 or epoch == max_epochs - 1:
+            ckpt.save("last", tree, meta)
         if np.isfinite(val_macro) and val_macro > best_metric:
             best_metric = float(val_macro)
             meta["best_metric"] = best_metric
-            ckpt.save("best", tree, meta)
+            # best is consumed by eval/overlays only (weights + norm stats);
+            # resume uses 'last' — skip the opt_state pull (2/3 of the bytes
+            # for Adam). Restore-side partial templates already handle it.
+            best_tree = {"params": tree["params"], "opt_state": None,
+                         "batch_stats": tree["batch_stats"]}
+            ckpt.save("best", best_tree, meta)
 
         # render after every VIZ_EVERY *completed* training epochs (the
         # reference's VisualizeEveryNEpochsBuffered fires every N epochs of
@@ -261,6 +271,8 @@ def fit(
 
         if stopper.update(val_macro):
             print(f"[{variant}/seed{seed}] early stop at epoch {epoch + 1}")
+            if (epoch + 1) % ckpt_every != 0:   # interval skipped this epoch
+                ckpt.save("last", tree, meta)
             stop = True
             break
 
