@@ -234,9 +234,10 @@ def build_registry() -> Dict[str, Recipe]:
     #    the step ResourceExhausts 16 GB HBM at full resolution without it.
     add(Recipe(
         name="3DUNet",
-        module=Cicek3DUNet(num_classes=NUM_CLASSES, base=32, use_bn=True, dtype=jnp.bfloat16),
+        module=Cicek3DUNet(num_classes=NUM_CLASSES, base=32, use_bn=True,
+                           block_remat=True, dtype=jnp.bfloat16),
         loss=_cicek_loss, opt_kind="sgd", lr=1e-2, momentum=0.99,
-        forward_wrap="depth16", full_metrics=False, remat=True,
+        forward_wrap="depth16", full_metrics=False,
         ckpt_dir=CHECKPOINT_DIR / "3DUNet",
     ))
 
