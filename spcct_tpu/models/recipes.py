@@ -80,7 +80,7 @@ class Recipe:
             elif wrap == "pad16":
                 xp, orig = pad_to_mult_3d(x, 16)
                 y, mut = run(xp)
-                y = center_crop_3d(y, orig)
+                y = center_crop_3d(y, orig).astype(jnp.float32)
             elif wrap == "pad32":
                 xp, orig = pad_to_mult_3d(x, 32)
                 y, mut = run(xp)
@@ -277,7 +277,8 @@ def build_registry() -> Dict[str, Recipe]:
         name="SwinUNETR",
         module=SwinUNETR(num_classes=NUM_CLASSES, feature_size=12,
                          depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
-                         window_size=(_win,) * 3, mlp_ratio=2.0, dtype=jnp.bfloat16),
+                         window_size=(_win,) * 3, mlp_ratio=2.0,
+                         block_remat=True, dtype=jnp.bfloat16),
         loss=_transformer_loss, opt_kind="adamw_cosine", lr=8e-4,
         weight_decay=1e-2, warmup_epochs=5, forward_wrap="pad32",
         full_metrics=False, remat=True,
@@ -327,9 +328,9 @@ def build_registry() -> Dict[str, Recipe]:
     #    vs 16 GB HBM (measured OOM) — gradient checkpointing fits it.
     add(Recipe(
         name="SP_UNet",
-        module=_spct_core(),
+        module=_spct_core(block_remat=True, logits_f32=False),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
-        forward_wrap="pad16", remat=True,
+        forward_wrap="pad16",
         ckpt_dir=CHECKPOINT_DIR / "SP_UNet",
         engine=_SPFF_ENGINE,
     ))

@@ -162,6 +162,14 @@ class UNet3DSpectralCore(nn.Module):
     norm: str = "instance"
     act: str = "lrelu"
     num_frames: int = 5
+    # per-block gradient checkpointing: needed when the pad16 wrapper
+    # (SP_UNet recipe) triples the depth axis — whole-model remat of that
+    # graph both exceeds HBM and crashes the AOT compile helper.
+    block_remat: bool = False
+    # logits_f32=False defers the f32 upcast to the recipe wrapper (after
+    # the pad16 crop): upcast commutes exactly with cropping, and the f32
+    # logits at padded depth are 872 MB (+ gradient) of pure temp.
+    logits_f32: bool = True
     dtype: Dtype = jnp.float32
 
     def _post(self, x, stage):
@@ -189,10 +197,12 @@ class UNet3DSpectralCore(nn.Module):
             use_fouriergate=self.use_fouriergate, num_frames=self.num_frames,
             dtype=self.dtype,
         )
-        e1 = self._post(DoubleConvSpectral(f, name="enc1", **dcs)(x, train), 0)
-        e2 = self._post(DoubleConvSpectral(2 * f, name="enc2", **dcs)(max_pool_3d(e1, P), train), 1)
-        e3 = self._post(DoubleConvSpectral(4 * f, name="enc3", **dcs)(max_pool_3d(e2, P), train), 2)
-        b = self._post(DoubleConvSpectral(8 * f, name="bott", **dcs)(max_pool_3d(e3, P), train), 3)
+        DCS = (nn.remat(DoubleConvSpectral, static_argnums=(2,))
+               if self.block_remat else DoubleConvSpectral)
+        e1 = self._post(DCS(f, name="enc1", **dcs)(x, train), 0)
+        e2 = self._post(DCS(2 * f, name="enc2", **dcs)(max_pool_3d(e1, P), train), 1)
+        e3 = self._post(DCS(4 * f, name="enc3", **dcs)(max_pool_3d(e2, P), train), 2)
+        b = self._post(DCS(8 * f, name="bott", **dcs)(max_pool_3d(e3, P), train), 3)
 
         # Gated-skip argument order matches the reference exactly: the call is
         # g3(d3, e3) with AttentionGate.forward(x_skip, g) (models.py:637-645,
@@ -200,15 +210,15 @@ class UNet3DSpectralCore(nn.Module):
         # concatenated with itself); the encoder feature only drives the gate.
         d3 = ConvTranspose3d(4 * f, (1, 2, 2), (1, 2, 2), name="up3", dtype=self.dtype)(b)
         s3 = AttentionGate(2 * f, name="g3", dtype=self.dtype)(d3, e3) if self.use_skip_gate else e3
-        d3 = DoubleConvSpectral(4 * f, name="dec3", **dcs)(self._cat(d3, s3), train)
+        d3 = DCS(4 * f, name="dec3", **dcs)(self._cat(d3, s3), train)
 
         d2 = ConvTranspose3d(2 * f, (1, 2, 2), (1, 2, 2), name="up2", dtype=self.dtype)(d3)
         s2 = AttentionGate(f, name="g2", dtype=self.dtype)(d2, e2) if self.use_skip_gate else e2
-        d2 = DoubleConvSpectral(2 * f, name="dec2", **dcs)(self._cat(d2, s2), train)
+        d2 = DCS(2 * f, name="dec2", **dcs)(self._cat(d2, s2), train)
 
         d1 = ConvTranspose3d(f, (1, 2, 2), (1, 2, 2), name="up1", dtype=self.dtype)(d2)
         s1 = AttentionGate(f // 2, name="g1", dtype=self.dtype)(d1, e1) if self.use_skip_gate else e1
-        d1 = DoubleConvSpectral(f, name="dec1", **dcs)(self._cat(d1, s1), train)
+        d1 = DCS(f, name="dec1", **dcs)(self._cat(d1, s1), train)
 
         out = Conv3d(self.num_classes, (1, 1, 1), name="out", dtype=self.dtype)(d1)
-        return out.astype(jnp.float32)
+        return out.astype(jnp.float32) if self.logits_f32 else out

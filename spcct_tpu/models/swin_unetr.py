@@ -184,10 +184,12 @@ class SwinViT3D(nn.Module):
     num_heads: Tuple[int, ...] = (1, 2, 4, 8)
     window: Win = (2, 2, 2)
     mlp_ratio: float = 4.0
+    block_remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        SwinBlk = nn.remat(SwinBlock3D) if self.block_remat else SwinBlock3D
         # patch embed: 2^3 patches
         z = Conv3d(self.feature_size, (2, 2, 2), strides=(2, 2, 2),
                    padding=[(0, 0)] * 3, dtype=self.dtype, name="patch_embed")(x)
@@ -195,9 +197,9 @@ class SwinViT3D(nn.Module):
         dim = self.feature_size
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for b in range(depth):
-                z = SwinBlock3D(dim, heads, self.window, shift=(b % 2 == 1),
-                                mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                                name=f"stage{stage}_block{b}")(z)
+                z = SwinBlk(dim, heads, self.window, shift=(b % 2 == 1),
+                            mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                            name=f"stage{stage}_block{b}")(z)
             z = PatchMerging3D(dim, dtype=self.dtype, name=f"merge{stage}")(z)
             dim *= 2
             hidden.append(z)  # x1: 2C @ /4 ... x4: 16C @ /32
@@ -205,29 +207,37 @@ class SwinViT3D(nn.Module):
 
 
 class SwinUNETR(nn.Module):
+    """block_remat: per-block gradient checkpointing — the whole-model step
+    at the padded full-resolution config needs 41.3 GB of temporaries
+    (measured XLA compile OOM on 15.75 GB HBM; the reference ran MONAI's
+    version on larger-memory CUDA hardware). Checkpointing each Swin block,
+    ResConvBlock and UpBlock keeps one region's activations live at a time."""
     num_classes: int
     feature_size: int = 12
     depths: Tuple[int, ...] = (1, 1, 1, 1)
     num_heads: Tuple[int, ...] = (1, 2, 4, 8)
     window_size: Win = (2, 2, 2)
     mlp_ratio: float = 4.0
+    block_remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.feature_size
+        Res = nn.remat(ResConvBlock) if self.block_remat else ResConvBlock
+        Up = nn.remat(UpBlock) if self.block_remat else UpBlock
         x0, x1, x2, x3, x4 = SwinViT3D(
             f, self.depths, self.num_heads, self.window_size, self.mlp_ratio,
-            dtype=self.dtype, name="swin")(x)
-        enc0 = ResConvBlock(f, dtype=self.dtype, name="encoder1")(x)
-        enc1 = ResConvBlock(f, dtype=self.dtype, name="encoder2")(x0)
-        enc2 = ResConvBlock(2 * f, dtype=self.dtype, name="encoder3")(x1)
-        enc3 = ResConvBlock(4 * f, dtype=self.dtype, name="encoder4")(x2)
-        dec4 = ResConvBlock(16 * f, dtype=self.dtype, name="encoder10")(x4)
-        d3 = UpBlock(8 * f, dtype=self.dtype, name="decoder5")(dec4, x3)
-        d2 = UpBlock(4 * f, dtype=self.dtype, name="decoder4")(d3, enc3)
-        d1 = UpBlock(2 * f, dtype=self.dtype, name="decoder3")(d2, enc2)
-        d0 = UpBlock(f, dtype=self.dtype, name="decoder2")(d1, enc1)
-        out = UpBlock(f, dtype=self.dtype, name="decoder1")(d0, enc0)
+            block_remat=self.block_remat, dtype=self.dtype, name="swin")(x)
+        enc0 = Res(f, dtype=self.dtype, name="encoder1")(x)
+        enc1 = Res(f, dtype=self.dtype, name="encoder2")(x0)
+        enc2 = Res(2 * f, dtype=self.dtype, name="encoder3")(x1)
+        enc3 = Res(4 * f, dtype=self.dtype, name="encoder4")(x2)
+        dec4 = Res(16 * f, dtype=self.dtype, name="encoder10")(x4)
+        d3 = Up(8 * f, dtype=self.dtype, name="decoder5")(dec4, x3)
+        d2 = Up(4 * f, dtype=self.dtype, name="decoder4")(d3, enc3)
+        d1 = Up(2 * f, dtype=self.dtype, name="decoder3")(d2, enc2)
+        d0 = Up(f, dtype=self.dtype, name="decoder2")(d1, enc1)
+        out = Up(f, dtype=self.dtype, name="decoder1")(d0, enc0)
         logits = Conv3d(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out")(out)
         return logits.astype(jnp.float32)
