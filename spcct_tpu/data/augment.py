@@ -157,7 +157,12 @@ class TrainGridAug:
         from ..runtime.native import lib as _native_lib
         if _NATIVE_AUG and _native_lib is not None and img.ndim == 3 and \
                 (scale != 1.0 or shift != 0.0 or std > 0.0):
-            img = np.ascontiguousarray(img, np.float32)
+            # stamp_and_noise mutates in place: when no flip/rot90 fired, img
+            # can still alias the dataset's resident array (ascontiguousarray
+            # is then a no-op view pass-through), and the mutation would
+            # corrupt the stored training data cumulatively across epochs.
+            # Always materialize a fresh owned buffer before the native call.
+            img = np.array(img, np.float32, copy=True, order="C")
             _native_lib.stamp_and_noise(
                 img, *img.shape, np.float32(scale), np.float32(shift),
                 np.float32(std), np.uint64(rng.integers(0, 2 ** 63)))

@@ -268,9 +268,10 @@ def build_registry() -> Dict[str, Recipe]:
     #    AdamW 8e-4 wd 1e-2, warmup-5 cosine.
     #    Window size: the reference CONFIGURES (2,2,2) (config.py:374) but its
     #    kwarg filter drops it, so MONAI's default 7^3 is what actually runs.
-    #    Default here stays 2^3 (the configured intent; measured accuracy
-    #    comparison recorded in BASELINE.md); SPCCT_SWIN_WINDOW=7 selects
-    #    actual-reference-behavior parity.
+    #    Default here stays 2^3 (the configured intent); SPCCT_SWIN_WINDOW=7
+    #    selects actual-reference-behavior parity. A measured 2^3-vs-7^3
+    #    accuracy comparison is pending full-resolution trainability
+    #    (ROADMAP.md #10).
     from .swin_unetr import SwinUNETR
     _win = int(os.getenv("SPCCT_SWIN_WINDOW", "2"))
     add(Recipe(

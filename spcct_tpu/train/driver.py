@@ -91,6 +91,13 @@ def fit(
     """Train one (variant, seed); returns the final test metrics dict
     (incl. 'test_macro_dice')."""
     ensure_dirs()
+    # Multi-host: exactly one writer. Every host computes identical
+    # (replicated) metrics/state, so checkpoint saves and CSV logs are
+    # rank-0-only — per-rank writes to a shared filesystem would race in
+    # CheckpointManager._finalize (rmtree+rename), and orbax saves of
+    # replicated arrays write data only from the replica-0 holder anyway.
+    # Resume on multi-host requires CHECKPOINT_DIR on a shared filesystem.
+    rank0 = jax.process_index() == 0
     recipe = get_recipe(variant)
     max_epochs = int(max_epochs if max_epochs is not None else
                      os.getenv("SPCCT_MAX_EPOCHS", FINAL_EPOCHS))
@@ -115,9 +122,10 @@ def fit(
 
     state, optimizer = create_state(recipe, rng, example, steps_per_epoch, max_epochs)
     n_params = param_count(state.params)
-    (log_root / "logs").mkdir(parents=True, exist_ok=True)
-    (log_root / "model_compute.txt").write_text(
-        _compute_readout(variant, example, n_params))
+    if rank0:
+        (log_root / "logs").mkdir(parents=True, exist_ok=True)
+        (log_root / "model_compute.txt").write_text(
+            _compute_readout(variant, example, n_params))
 
     train_step, eval_step = make_steps(recipe, optimizer, mesh=mesh,
                                        remat=recipe.remat)
@@ -130,6 +138,11 @@ def fit(
     plateau = PlateauScheduler(recipe.lr) if recipe.plateau else None
     best_metric = -np.inf
 
+    if jax.process_count() > 1:
+        # make sure rank 0's last finalize (tmp→final rename) is complete
+        # before any rank opens the checkpoint directory
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("spcct_ckpt_resume")
     resume = ckpt.resume_kind()
     if resume == "last":
         tree, meta = ckpt.restore("last", tree)
@@ -139,6 +152,22 @@ def fit(
             plateau.lr = float(meta["lr"])
             tree["opt_state"] = set_learning_rate(tree["opt_state"], plateau.lr)
         print(f"[{variant}/seed{seed}] resumed from last @ epoch {start_epoch}")
+    elif resume == "best":
+        # Only 'best' exists (crash after a best save but before the first
+        # interval 'last' save, SPCCT_CKPT_EVERY>1). Best checkpoints carry
+        # no opt_state, so training restarts from epoch 0 with fresh
+        # optimizer state — but we must restore the saved weights and the
+        # recorded best_metric so a worse early epoch can never overwrite
+        # the good 'best' checkpoint.
+        partial = {"params": tree["params"], "opt_state": None,
+                   "batch_stats": tree["batch_stats"]}
+        restored, meta = ckpt.restore("best", partial)
+        tree["params"] = restored["params"]
+        tree["batch_stats"] = restored["batch_stats"]
+        best_metric = float(meta.get("best_metric",
+                                     meta.get("val_macro_dice", -np.inf)))
+        print(f"[{variant}/seed{seed}] resumed weights from best "
+              f"(best_metric={best_metric:.4f}); optimizer state restarts")
 
     def _put(x, y):
         if mesh is not None:
@@ -168,6 +197,20 @@ def fit(
     # one-dispatch compiled epochs (scan over steps) — needs device data;
     # SPCCT_SCAN_EPOCH=0/1 overrides (default off pending measurement)
     use_scan_epoch = use_device_data and os.getenv("SPCCT_SCAN_EPOCH") == "1"
+    # The device-data path uses a different augmentation RNG stream than the
+    # host path (documented in device_aug.py), so the same seed diverges
+    # across backends. Record which path this run actually used so runs are
+    # comparable (advisor r2): logs/run_meta.json.
+    if rank0:
+        import json as _json
+        (log_root / "logs").mkdir(parents=True, exist_ok=True)
+        (log_root / "logs" / "run_meta.json").write_text(_json.dumps({
+            "variant": variant, "seed": seed, "backend": jax.default_backend(),
+            "data_path": "device" if use_device_data else "host",
+            "scan_epoch": bool(use_scan_epoch),
+            "max_epochs": max_epochs, "batch_size": dm.batch_size,
+            "n_params": int(n_params),
+        }, indent=2))
     if use_scan_epoch:
         from .loop import make_scan_epoch
         train_epoch_fn = make_scan_epoch(recipe, optimizer, remat=recipe.remat)
@@ -220,8 +263,10 @@ def fit(
 
         lr_now = get_learning_rate(tree["opt_state"])
         dt = time.time() - t0
-        logs.log("train", epoch, {**train_metrics, "lr": lr_now, "epoch_time_s": round(dt, 3)})
-        logs.log("val", epoch, val_metrics)
+        if rank0:
+            logs.log("train", epoch, {**train_metrics, "lr": lr_now,
+                                      "epoch_time_s": round(dt, 3)})
+            logs.log("val", epoch, val_metrics)
         # progress + ETA from a 3-epoch moving average
         # (reference EpochProgressPrinter, helpers.py:811-831)
         epoch_times.append(dt)
@@ -247,7 +292,7 @@ def fit(
                 "best_metric": float(best_metric),
                 "lr": plateau.lr if plateau else recipe.lr}
         ckpt_every = max(1, int(os.getenv("SPCCT_CKPT_EVERY", "1")))
-        if (epoch + 1) % ckpt_every == 0 or epoch == max_epochs - 1:
+        if rank0 and ((epoch + 1) % ckpt_every == 0 or epoch == max_epochs - 1):
             ckpt.save("last", tree, meta)
         if np.isfinite(val_macro) and val_macro > best_metric:
             best_metric = float(val_macro)
@@ -255,14 +300,15 @@ def fit(
             # best is consumed by eval/overlays only (weights + norm stats);
             # resume uses 'last' — skip the opt_state pull (2/3 of the bytes
             # for Adam). Restore-side partial templates already handle it.
-            best_tree = {"params": tree["params"], "opt_state": None,
-                         "batch_stats": tree["batch_stats"]}
-            ckpt.save("best", best_tree, meta)
+            if rank0:
+                best_tree = {"params": tree["params"], "opt_state": None,
+                             "batch_stats": tree["batch_stats"]}
+                ckpt.save("best", best_tree, meta)
 
         # render after every VIZ_EVERY *completed* training epochs (the
         # reference's VisualizeEveryNEpochsBuffered fires every N epochs of
         # training, train.py:1137-1165 — not on the untrained epoch 0)
-        if viz_hook is not None and not (SKIP_VIZ or FAST_SKIP_VIZ) and \
+        if rank0 and viz_hook is not None and not (SKIP_VIZ or FAST_SKIP_VIZ) and \
                 ((epoch + 1) % VIZ_EVERY == 0):
             try:
                 viz_hook(recipe, tree, dm, epoch, log_root)
@@ -271,7 +317,7 @@ def fit(
 
         if stopper.update(val_macro):
             print(f"[{variant}/seed{seed}] early stop at epoch {epoch + 1}")
-            if (epoch + 1) % ckpt_every != 0:   # interval skipped this epoch
+            if rank0 and (epoch + 1) % ckpt_every != 0:  # interval skipped
                 ckpt.save("last", tree, meta)
             stop = True
             break
@@ -301,6 +347,7 @@ def evaluate_test(
     .test() deliberately bypassed — quirk #7 — in favor of explicit CSV
     writers)."""
     log_root = Path(log_root)
+    rank0 = jax.process_index() == 0
     dm.setup("test")
     n_metrics = len(metric_names("x", NUM_CLASSES))
     acc = MetricAccum.zeros(n_metrics)
@@ -358,13 +405,14 @@ def evaluate_test(
     row = {"model": variant, "seed": seed, **test_metrics}
     if slow_stats is not None:
         row.update(slow_stats.finalize())
-    append_row_csv(log_root / "logs" / "test_metrics.csv", row)
+    if rank0:
+        append_row_csv(log_root / "logs" / "test_metrics.csv", row)
 
-    if scan_labels and scan_preds:
+    if rank0 and scan_labels and scan_preds:
         from ..analysis.scan_labels import write_scan_labels
         write_scan_labels(scan_preds, scan_gts, log_root / "scan_labels.csv")
 
-    if detail_rows:
+    if rank0 and detail_rows:
         import csv
         # reference layout: test_details.csv/summary.csv live in the
         # checkpoint seed dir (test.py:98-111 reads them there); mirror a
