@@ -124,7 +124,7 @@ def batch_from_params(images: jnp.ndarray, labels: jnp.ndarray,
     compiled programs (train/loop.py make_scan_epoch); device_batch is the
     standalone jitted form."""
     img = images[idx]                       # (B,F,H,W)
-    lbl = labels[idx]
+    lbl = labels[idx].astype(jnp.int32)     # stored uint8, widened per batch
     img, lbl = jax.vmap(_apply_one)(img, lbl, params)
     return img[..., None], lbl
 
@@ -136,4 +136,4 @@ device_batch = jax.jit(batch_from_params)
 def device_batch_plain(images: jnp.ndarray, labels: jnp.ndarray,
                        idx: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Un-augmented gather (val/test): identity transform."""
-    return images[idx][..., None], labels[idx]
+    return images[idx][..., None], labels[idx].astype(jnp.int32)

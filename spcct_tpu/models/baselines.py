@@ -56,6 +56,11 @@ class Cicek3DUNet(nn.Module):
     base: int = 32
     use_bn: bool = True
     block_remat: bool = False
+    # logits_f32=False defers the f32 upcast to the recipe wrapper (after the
+    # depth16 resize back to 5 frames): the f32 logits at padded depth
+    # (1,16,512,512,13) are 218 MB of pure temp vs 109 MB in bf16 — same
+    # trick as UNet3DSpectralCore.logits_f32 (spff.py:169-172)
+    logits_f32: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -79,7 +84,7 @@ class Cicek3DUNet(nn.Module):
         d1 = blk(f, "dec1")(
             jnp.concatenate([ConvTranspose3d(f, name="up1", dtype=self.dtype)(d2), e1], -1), train)
         out = Conv3d(self.num_classes, (1, 1, 1), name="out", dtype=self.dtype)(d1)
-        return out.astype(jnp.float32)
+        return out.astype(jnp.float32) if self.logits_f32 else out
 
 
 class R2UNet3D(nn.Module):

@@ -84,12 +84,19 @@ class Recipe:
             elif wrap == "pad32":
                 xp, orig = pad_to_mult_3d(x, 32)
                 y, mut = run(xp)
-                y = center_crop_3d(y, orig)
+                # deferred upcast: crop the (possibly bf16) padded logits
+                # first — upcast commutes exactly with cropping
+                y = center_crop_3d(y, orig).astype(jnp.float32)
             elif wrap == "depth16":
                 d0 = x.shape[1]
                 y, mut = run(resize_depth(x, 16))
                 if y.shape[1] != d0:
+                    # deferred upcast: resize the depth-16 logits back to 5
+                    # frames in the model dtype, upcast the small result
+                    # (resize is linear; bf16 blend error ~0.4% relative,
+                    # well under the bf16 conv noise already in the logits)
                     y = trilinear_resize(y, (d0, y.shape[2], y.shape[3]))
+                y = y.astype(jnp.float32)
             elif wrap == "resize96":
                 xp, orig = pad_to_mult_3d(x, 16)
                 tgt = self.img_size
@@ -235,7 +242,8 @@ def build_registry() -> Dict[str, Recipe]:
     add(Recipe(
         name="3DUNet",
         module=Cicek3DUNet(num_classes=NUM_CLASSES, base=32, use_bn=True,
-                           block_remat=True, dtype=jnp.bfloat16),
+                           block_remat=True, logits_f32=False,
+                           dtype=jnp.bfloat16),
         loss=_cicek_loss, opt_kind="sgd", lr=1e-2, momentum=0.99,
         forward_wrap="depth16", full_metrics=False,
         ckpt_dir=CHECKPOINT_DIR / "3DUNet",
@@ -279,7 +287,8 @@ def build_registry() -> Dict[str, Recipe]:
         module=SwinUNETR(num_classes=NUM_CLASSES, feature_size=12,
                          depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
                          window_size=(_win,) * 3, mlp_ratio=2.0,
-                         block_remat=True, dtype=jnp.bfloat16),
+                         block_remat=True, logits_f32=False,
+                         dtype=jnp.bfloat16),
         loss=_transformer_loss, opt_kind="adamw_cosine", lr=8e-4,
         weight_decay=1e-2, warmup_epochs=5, forward_wrap="pad32",
         full_metrics=False, remat=True,

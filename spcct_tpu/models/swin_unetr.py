@@ -219,6 +219,10 @@ class SwinUNETR(nn.Module):
     window_size: Win = (2, 2, 2)
     mlp_ratio: float = 4.0
     block_remat: bool = False
+    # logits_f32=False defers the f32 upcast to the recipe wrapper (after
+    # the pad32 crop — upcast commutes exactly with cropping); the padded
+    # (1,32,512,512,13) f32 logits are 872 MB of pure temp vs 436 in bf16
+    logits_f32: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -240,4 +244,4 @@ class SwinUNETR(nn.Module):
         d0 = Up(f, dtype=self.dtype, name="decoder2")(d1, enc1)
         out = Up(f, dtype=self.dtype, name="decoder1")(d0, enc0)
         logits = Conv3d(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out")(out)
-        return logits.astype(jnp.float32)
+        return logits.astype(jnp.float32) if self.logits_f32 else logits
