@@ -195,7 +195,9 @@ def fit(
         print(f"[{variant}/seed{seed}] device-resident data: "
               f"{len(dm.train_set)} train + {len(dm.val_set)} val samples in HBM")
     # one-dispatch compiled epochs (scan over steps) — needs device data;
-    # SPCCT_SCAN_EPOCH=0/1 overrides (default off pending measurement)
+    # SPCCT_SCAN_EPOCH=1 opt-in. Measured neutral at full resolution with
+    # device-resident data (6.7 vs 6.6 s/epoch, +45 s compile — BASELINE.md
+    # round-3 log), so the default stays off.
     use_scan_epoch = use_device_data and os.getenv("SPCCT_SCAN_EPOCH") == "1"
     # The device-data path uses a different augmentation RNG stream than the
     # host path (documented in device_aug.py), so the same seed diverges
