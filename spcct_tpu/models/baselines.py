@@ -23,6 +23,7 @@ from .layers import (
     ResidualUnit3D,
     SE3D,
     max_pool_3d,
+    skip_join,
 )
 
 Dtype = Any
@@ -76,13 +77,13 @@ class Cicek3DUNet(nn.Module):
         e4 = blk(8 * f, "enc4")(max_pool_3d(e3, P), train)
         b = blk(16 * f, "bott")(max_pool_3d(e4, P), train)
         d4 = blk(8 * f, "dec4")(
-            jnp.concatenate([ConvTranspose3d(8 * f, name="up4", dtype=self.dtype)(b), e4], -1), train)
+            skip_join(ConvTranspose3d(8 * f, name="up4", dtype=self.dtype)(b), e4), train)
         d3 = blk(4 * f, "dec3")(
-            jnp.concatenate([ConvTranspose3d(4 * f, name="up3", dtype=self.dtype)(d4), e3], -1), train)
+            skip_join(ConvTranspose3d(4 * f, name="up3", dtype=self.dtype)(d4), e3), train)
         d2 = blk(2 * f, "dec2")(
-            jnp.concatenate([ConvTranspose3d(2 * f, name="up2", dtype=self.dtype)(d3), e2], -1), train)
+            skip_join(ConvTranspose3d(2 * f, name="up2", dtype=self.dtype)(d3), e2), train)
         d1 = blk(f, "dec1")(
-            jnp.concatenate([ConvTranspose3d(f, name="up1", dtype=self.dtype)(d2), e1], -1), train)
+            skip_join(ConvTranspose3d(f, name="up1", dtype=self.dtype)(d2), e1), train)
         out = Conv3d(self.num_classes, (1, 1, 1), name="out", dtype=self.dtype)(d1)
         return out.astype(jnp.float32) if self.logits_f32 else out
 
@@ -105,14 +106,14 @@ class R2UNet3D(nn.Module):
         e3 = rr(c[2], "e3")(max_pool_3d(e2, P))
         e4 = rr(c[3], "e4")(max_pool_3d(e3, P))
         b = rr(c[4], "b")(max_pool_3d(e4, P))
-        d4 = rr(c[3], "d4")(jnp.concatenate(
-            [ConvTranspose3d(c[3], name="up4", dtype=self.dtype)(b), e4], -1))
-        d3 = rr(c[2], "d3")(jnp.concatenate(
-            [ConvTranspose3d(c[2], name="up3", dtype=self.dtype)(d4), e3], -1))
-        d2 = rr(c[1], "d2")(jnp.concatenate(
-            [ConvTranspose3d(c[1], name="up2", dtype=self.dtype)(d3), e2], -1))
-        d1 = rr(c[0], "d1")(jnp.concatenate(
-            [ConvTranspose3d(c[0], name="up1", dtype=self.dtype)(d2), e1], -1))
+        d4 = rr(c[3], "d4")(skip_join(
+            ConvTranspose3d(c[3], name="up4", dtype=self.dtype)(b), e4))
+        d3 = rr(c[2], "d3")(skip_join(
+            ConvTranspose3d(c[2], name="up3", dtype=self.dtype)(d4), e3))
+        d2 = rr(c[1], "d2")(skip_join(
+            ConvTranspose3d(c[1], name="up2", dtype=self.dtype)(d3), e2))
+        d1 = rr(c[0], "d1")(skip_join(
+            ConvTranspose3d(c[0], name="up1", dtype=self.dtype)(d2), e1))
         out = Conv3d(self.num_classes, (1, 1, 1), name="head", dtype=self.dtype)(d1)
         return out.astype(jnp.float32)
 
@@ -146,21 +147,21 @@ class ResUNetPP3D(nn.Module):
         u4 = ConvTranspose3d(c[3], name="up4", dtype=self.dtype)(b)
         s4 = AttentionGate(c[3] // 2, name="ag4", dtype=self.dtype)(
             u4, SE3D(name="se4", dtype=self.dtype)(e4))
-        d4 = ru(c[3], "d4")(jnp.concatenate([u4, s4], -1))
+        d4 = ru(c[3], "d4")(skip_join(u4, s4))
 
         u3 = ConvTranspose3d(c[2], name="up3", dtype=self.dtype)(d4)
         s3 = AttentionGate(c[2] // 2, name="ag3", dtype=self.dtype)(
             u3, SE3D(name="se3", dtype=self.dtype)(e3))
-        d3 = ru(c[2], "d3")(jnp.concatenate([u3, s3], -1))
+        d3 = ru(c[2], "d3")(skip_join(u3, s3))
 
         u2 = ConvTranspose3d(c[1], name="up2", dtype=self.dtype)(d3)
         s2 = AttentionGate(c[1] // 2, name="ag2", dtype=self.dtype)(
             u2, SE3D(name="se2", dtype=self.dtype)(e2))
-        d2 = ru(c[1], "d2")(jnp.concatenate([u2, s2], -1))
+        d2 = ru(c[1], "d2")(skip_join(u2, s2))
 
         u1 = ConvTranspose3d(c[0], name="up1", dtype=self.dtype)(d2)
         s1 = SE3D(name="se1", dtype=self.dtype)(e1)
-        d1 = ru(c[0], "d1")(jnp.concatenate([u1, s1], -1))
+        d1 = ru(c[0], "d1")(skip_join(u1, s1))
 
         out = Conv3d(self.num_classes, (1, 1, 1), name="head", dtype=self.dtype)(d1)
         return out.astype(jnp.float32)

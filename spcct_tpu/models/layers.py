@@ -51,7 +51,17 @@ def _use_pallas_conv() -> bool:
 
 class _RawConv(nn.Module):
     """Parameter-owning conv core (named 'Conv_0' by Conv3d for checkpoint
-    compatibility with the previous nn.Conv-based layout)."""
+    compatibility with the previous nn.Conv-based layout).
+
+    Accepts either one array or a tuple of arrays. A tuple means a *virtual
+    concatenation* along channels: the parameter is the single
+    (k, k, k, sum(Cin_i), Cout) kernel a conv-of-concat would own, but the
+    result is computed as the sum of per-input convs over channel slices of
+    that kernel. Identical math and parameter tree; the concatenated tensor
+    (and, in the backward pass, its grad-of-concat split buffers) never
+    materialize. On TPU this matters doubly at small channel counts, where
+    XLA lane-pads the channel dim of conv temporaries up to 10x (measured:
+    SwinUNETR full-res decoder1, BASELINE.md round-3)."""
     features: int
     kernel_size: Tuple[int, int, int]
     strides: Tuple[int, int, int]
@@ -61,37 +71,51 @@ class _RawConv(nn.Module):
     dtype: Dtype
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(self, x) -> jnp.ndarray:
+        xs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        cin = sum(p.shape[-1] for p in xs)
         fan_in = cin * math.prod(self.kernel_size)
         kernel = self.param("kernel", torch_conv_kernel_init,
                             self.kernel_size + (cin, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
-        xc = x.astype(self.dtype)
         # flax freezes list attrs to (nested) tuples — normalize before compare
         symmetric = (self.padding is None or
                      tuple(map(tuple, self.padding)) ==
                      tuple((kk // 2, kk // 2) for kk in self.kernel_size))
+        pad = self.padding
+        if pad is None:
+            pad = [(d * (kk // 2), d * (kk // 2))
+                   for kk, d in zip(self.kernel_size, self.dilation)]
+
         from ..ops import pallas_conv as _pc
-        if (symmetric and self.dtype == jnp.bfloat16 and _use_pallas_conv()
-                and _pc._supported(x.shape, k.shape, self.strides,
-                                   self.dilation, None)
-                and _pc._profitable(x.shape, k.shape)):
-            y = _pc.conv3d_spectral(xc, k)
-        elif (_FAST_WGRAD and symmetric and self.strides == (1, 1, 1)
-                and self.dilation == (1, 1, 1)):
-            from ..ops.fast_conv import conv3d_fast
-            y = conv3d_fast(xc, k)
-        else:
-            pad = self.padding
-            if pad is None:
-                pad = [(d * (kk // 2), d * (kk // 2))
-                       for kk, d in zip(self.kernel_size, self.dilation)]
+
+        def one(xp: jnp.ndarray, kp: jnp.ndarray) -> jnp.ndarray:
+            xc = xp.astype(self.dtype)
+            if (symmetric and self.dtype == jnp.bfloat16
+                    and _pc._supported(xp.shape, kp.shape, self.strides,
+                                       self.dilation, None)
+                    and ((_use_pallas_conv()
+                          and _pc._profitable(xp.shape, kp.shape))
+                         or _pc._memory_rescue(xp.shape, kp.shape))):
+                return _pc.conv3d_spectral(xc, kp)
+            if (_FAST_WGRAD and symmetric and self.strides == (1, 1, 1)
+                    and self.dilation == (1, 1, 1)):
+                from ..ops.fast_conv import conv3d_fast
+                return conv3d_fast(xc, kp)
             dn = jax.lax.conv_dimension_numbers(
-                x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
-            y = jax.lax.conv_general_dilated(
-                xc, k, self.strides, pad, rhs_dilation=self.dilation,
+                xp.shape, kp.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            return jax.lax.conv_general_dilated(
+                xc, kp, self.strides, pad, rhs_dilation=self.dilation,
                 dimension_numbers=dn)
+
+        off, y = 0, None
+        for xp in xs:
+            ci = xp.shape[-1]
+            kp = k if len(xs) == 1 else jax.lax.slice_in_dim(
+                k, off, off + ci, axis=-2)
+            yi = one(xp, kp)
+            y = yi if y is None else y + yi
+            off += ci
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(fan_in),
                               (self.features,), jnp.float32)
@@ -111,12 +135,34 @@ class Conv3d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x) -> jnp.ndarray:
+        # x: array, or tuple of arrays = virtual channel-concat (see _RawConv)
         return _RawConv(
             self.features, tuple(self.kernel_size), tuple(self.strides),
             self.padding, tuple(self.dilation), self.use_bias, self.dtype,
             name="Conv_0",
         )(x)
+
+
+def channels_of(x) -> int:
+    """Channel count of an array or of a virtual-concat tuple."""
+    if isinstance(x, (tuple, list)):
+        return sum(p.shape[-1] for p in x)
+    return x.shape[-1]
+
+
+def skip_join(up: jnp.ndarray, skip: jnp.ndarray):
+    """Join a decoder feature with its skip connection for the next conv.
+
+    Default: returns the (up, skip) tuple that Conv3d consumes as a virtual
+    concatenation — conv(concat(up, skip)) computed as two convs over slices
+    of one kernel parameter, so the 2C-channel tensor never materializes
+    (reference materializes torch.cat at every decoder stage, e.g.
+    innovative3D/models.py:698-700). SPCCT_REAL_CONCAT=1 restores a real
+    jnp.concatenate for A/B measurement."""
+    if _os.getenv("SPCCT_REAL_CONCAT") == "1":
+        return jnp.concatenate([up, skip], axis=-1)
+    return (up, skip)
 
 
 class ConvTranspose3d(nn.Module):
@@ -452,9 +498,12 @@ class ResidualUnit3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        s = x if x.shape[-1] == self.features else Conv3d(
-            self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(x)
+    def __call__(self, x) -> jnp.ndarray:
+        if channels_of(x) == self.features:
+            s = jnp.concatenate(x, -1) if isinstance(x, (tuple, list)) else x
+        else:
+            s = Conv3d(
+                self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(x)
         y = Conv3d(self.features, use_bias=False, dtype=self.dtype)(x)
         y = Norm3d("instance", dtype=self.dtype)(y)
         y = nn.relu(y)

@@ -40,6 +40,7 @@ from .layers import (
     SpectralSE,
     act_fn,
     max_pool_3d,
+    skip_join,
 )
 
 Dtype = Any
@@ -186,7 +187,7 @@ class UNet3DSpectralCore(nn.Module):
     def _cat(up, skip):
         if up.shape[1:4] != skip.shape[1:4]:
             up = trilinear_resize(up, skip.shape[1:4])
-        return jnp.concatenate([up, skip], axis=-1)
+        return skip_join(up, skip)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

@@ -21,7 +21,8 @@ from flax import linen as nn
 
 from ..ops.attention import attention
 from ..ops.init import torch_linear_kernel_init, torch_bias_init
-from .layers import Conv3d, ConvTranspose3d, Norm3d, act_fn
+from .layers import (Conv3d, ConvTranspose3d, Norm3d, act_fn, channels_of,
+                     skip_join)
 
 Dtype = Any
 
@@ -117,11 +118,13 @@ class ResConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # x: array, or virtual-concat tuple from skip_join (layers.py)
         a = act_fn("lrelu")
-        s = x
-        if x.shape[-1] != self.features:
-            s = Conv3d(self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(s)
+        if channels_of(x) != self.features:
+            s = Conv3d(self.features, (1, 1, 1), use_bias=False, dtype=self.dtype)(x)
             s = Norm3d("instance", dtype=self.dtype)(s)
+        else:
+            s = jnp.concatenate(x, -1) if isinstance(x, (tuple, list)) else x
         y = Conv3d(self.features, use_bias=False, dtype=self.dtype)(x)
         y = a(Norm3d("instance", dtype=self.dtype)(y))
         y = Conv3d(self.features, use_bias=False, dtype=self.dtype)(y)
@@ -153,8 +156,7 @@ class UpBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip):
         x = ConvTranspose3d(self.features, dtype=self.dtype)(x)
-        x = jnp.concatenate([x, skip], axis=-1)
-        return ResConvBlock(self.features, dtype=self.dtype)(x)
+        return ResConvBlock(self.features, dtype=self.dtype)(skip_join(x, skip))
 
 
 class UNETR(nn.Module):

@@ -56,13 +56,41 @@ def _supported(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...],
             return False
     if W % 128 != 0 or H % _row_tile(H) != 0:
         return False
-    if cout % 8 != 0:
-        return False
-    if cin % 2 != 0:
-        # bf16 sublane tiling is 2: a C=1 DMA slice fails Mosaic alignment
-        # (and the cin=1 stem conv is IO-bound anyway — XLA handles it).
-        return False
+    # cin/cout alignment is handled by wrapper-level zero padding in
+    # _fwd/_bwd (cin to even for the bf16 sublane-2 DMA, cout to a 16
+    # multiple when not already 8-aligned), so any channel count works.
     return True
+
+
+def _pad_cout(c: int) -> int:
+    """Kernel-internal output-channel count: multiples of 8 run as-is;
+    anything else is zero-row-padded to the bf16 sublane tile (16)."""
+    return c if c % 8 == 0 else ((c + 15) // 16) * 16
+
+
+def _pad_cin(c: int) -> int:
+    """The kernels DMA (…, C, W) slabs whose C extent is the sublane dim of
+    the (8,128) tile — Mosaic requires it 8-aligned (measured on v5e:
+    'Slice shape along dimension 3 must be aligned to tiling (8)'), so
+    input channels are zero-padded to a multiple of 8."""
+    return ((c + 7) // 8) * 8
+
+
+def _memory_rescue(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...]) -> bool:
+    """Auto-enable region, independent of the SPCCT_PALLAS_CONV perf knob:
+    full-resolution small-channel convs, where XLA's conv-backward temps
+    inherit layouts that lane-pad the channel dim up to 10.7x and blow the
+    16 GB HBM (measured: SwinUNETR decoder1/encoder1 at 512^2 x D32, C=12 —
+    eight 2.03 GiB temps; BASELINE.md round-3). The CW kernel keeps W on
+    the lanes so its temps pad ~1x; here the kernel is a *memory* fix
+    first, throughput second. SPCCT_PALLAS_RESCUE=0 disables."""
+    if os.getenv("SPCCT_PALLAS_RESCUE", "1") == "0":
+        return False
+    W = shape_cl[3]
+    cout = kshape[4]
+    # cout <= 12 so only the pathological Swin encoder1/decoder1 shapes
+    # switch; R2U/ResUNet++ (cout 16 @ 512^2) fit under XLA already.
+    return cout <= 12 and W >= 512
 
 
 def _profitable(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...]) -> bool:
@@ -257,33 +285,56 @@ def conv3d_spectral(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def _fwd(x, w):
     kd, _, _, cin, cout = w.shape
     HT = _row_tile(x.shape[2])
+    cin_p, cout_p = _pad_cin(cin), _pad_cout(cout)
+    wp = w
+    if cin_p != cin:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, cin_p - cin),))
+        wp = jnp.pad(w, ((0, 0),) * 3 + ((0, cin_p - cin), (0, 0)))
     x_cw = jnp.transpose(x, (0, 1, 2, 4, 3)).astype(jnp.bfloat16)
-    a = _pack_a(w).astype(jnp.bfloat16)
-    y_cw = _conv_cw(x_cw, a, kd=kd, cout=cout, HT=HT)
+    a = _pack_a(wp).astype(jnp.bfloat16)
+    if cout_p != cout:
+        a = jnp.pad(a, ((0, cout_p - cout), (0, 0)))
+    y_cw = _conv_cw(x_cw, a, kd=kd, cout=cout_p, HT=HT)
+    if cout_p != cout:
+        y_cw = jax.lax.slice_in_dim(y_cw, 0, cout, axis=3)
     y = jnp.transpose(y_cw, (0, 1, 2, 4, 3))
     return y, (x_cw, w)
 
 
 def _bwd(res, dy):
-    x_cw, w = res
-    kd, _, _, cin, cout = w.shape
+    x_cw, w = res                       # x_cw already cin-padded by _fwd
+    kd, _, _, cin, cout = w.shape       # w is the caller's original shape
+    cin_p, cout_p = _pad_cin(cin), _pad_cout(cout)
     if os.getenv("SPCCT_PALLAS_BWD", "1") == "0":
         # bisection mode: Pallas forward, XLA backward (transposed conv for
         # dx, conv-as-wgrad for dw on the channels-last residual)
-        x = jnp.transpose(x_cw, (0, 1, 2, 4, 3))
+        x = jnp.transpose(x_cw, (0, 1, 2, 4, 3))[..., :cin]
         _, vjp = jax.vjp(lambda xx, ww: jax.lax.conv_general_dilated(
             xx, ww.astype(xx.dtype), (1, 1, 1), "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC")), x, w)
         return vjp(dy.astype(jnp.bfloat16))
     HT = _row_tile(x_cw.shape[2])
     dy_cw = jnp.transpose(dy, (0, 1, 2, 4, 3)).astype(jnp.bfloat16)
-    # dx: same conv with tap-flipped, IO-swapped weights
-    a_flip = _pack_a(_flip_w(w)).astype(jnp.bfloat16)
-    dx_cw = _conv_cw(dy_cw, a_flip, kd=kd, cout=cin, HT=HT)
+    if cout_p != cout:
+        dy_cw = jnp.pad(dy_cw, ((0, 0),) * 3 + ((0, cout_p - cout), (0, 0)))
+    # dx: same conv with tap-flipped, IO-swapped weights; the kernel's
+    # output-channel count must be 8-aligned, so pad and slice as in _fwd
+    wp = w if cin_p == cin else jnp.pad(
+        w, ((0, 0),) * 3 + ((0, cin_p - cin), (0, 0)))
+    wf = _flip_w(wp)                    # (kd, 3, 3, cout, cin_p)
+    if cout_p != cout:
+        wf = jnp.pad(wf, ((0, 0),) * 3 + ((0, cout_p - cout), (0, 0)))
+    dxc = _pad_cout(cin_p)
+    a_flip = _pack_a(wf).astype(jnp.bfloat16)
+    if dxc != cin_p:
+        a_flip = jnp.pad(a_flip, ((0, dxc - cin_p), (0, 0)))
+    dx_cw = _conv_cw(dy_cw, a_flip, kd=kd, cout=dxc, HT=HT)
+    if dxc != cin:
+        dx_cw = jax.lax.slice_in_dim(dx_cw, 0, cin, axis=3)
     dx = jnp.transpose(dx_cw, (0, 1, 2, 4, 3)).astype(jnp.bfloat16)
     # dw: VMEM-accumulated reduction kernel
     da = _conv_cw_dw(x_cw, dy_cw, kd=kd, HT=HT)
-    dw = _unpack_da(da, kd, cin, cout).astype(w.dtype)
+    dw = _unpack_da(da, kd, cin_p, cout_p)[:, :, :, :cin, :cout].astype(w.dtype)
     return dx, dw
 
 

@@ -24,7 +24,11 @@ def _rel_err(a, b):
     return np.max(np.abs(a - b)) / max(1e-6, np.max(np.abs(b)))
 
 
-@pytest.mark.parametrize("kd,cin,cout,B", [(3, 8, 8, 1), (1, 8, 16, 1), (3, 8, 8, 2)])
+@pytest.mark.parametrize("kd,cin,cout,B", [
+    (3, 8, 8, 1), (1, 8, 16, 1), (3, 8, 8, 2),
+    # wrapper-padded channel counts (memory-rescue region: Swin enc1/dec1)
+    (3, 1, 12, 1), (3, 24, 12, 1), (3, 12, 12, 1),
+])
 def test_forward_parity(kd, cin, cout, B):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, 5, 8, 128, cin)), jnp.float32)
@@ -35,9 +39,10 @@ def test_forward_parity(kd, cin, cout, B):
     assert _rel_err(y, y_ref) < 3e-2  # bf16 inputs, f32 accumulation
 
 
-def test_grad_parity():
+@pytest.mark.parametrize("C,CO", [(8, 8), (1, 12), (24, 12)])
+def test_grad_parity(C, CO):
     rng = np.random.default_rng(1)
-    B, F, H, W, C, CO = 1, 5, 8, 128, 8, 8
+    B, F, H, W = 1, 5, 8, 128
     x = jnp.asarray(rng.standard_normal((B, F, H, W, C)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, 3, C, CO)) * 0.1, jnp.float32)
     g = jnp.asarray(rng.standard_normal((B, F, H, W, CO)), jnp.float32)
@@ -62,4 +67,11 @@ def test_supported_gates():
     assert not pc._supported((1, 5, 8, 100, 8), ok[1], (1, 1, 1), (1, 1, 1), None)
     assert not pc._supported(ok[0], ok[1], (1, 2, 2), (1, 1, 1), None)
     assert not pc._supported(ok[0], ok[1], (1, 1, 1), (2, 2, 2), None)
-    assert not pc._supported(ok[0], (3, 3, 3, 8, 13), (1, 1, 1), (1, 1, 1), None)
+    # odd channel counts are now wrapper-padded, not excluded
+    assert pc._supported(ok[0], (3, 3, 3, 8, 13), (1, 1, 1), (1, 1, 1), None)
+    assert pc._supported((1, 5, 8, 128, 1), (3, 3, 3, 1, 12),
+                         (1, 1, 1), (1, 1, 1), None)
+    # memory-rescue region: full-res small-cout only
+    assert pc._memory_rescue((1, 32, 512, 512, 12), (3, 3, 3, 12, 12))
+    assert not pc._memory_rescue((1, 32, 256, 256, 12), (3, 3, 3, 12, 12))
+    assert not pc._memory_rescue((1, 16, 512, 512, 16), (3, 3, 3, 16, 16))
