@@ -98,6 +98,45 @@ class _RawConv(nn.Module):
                           and _pc._profitable(xp.shape, kp.shape))
                          or _pc._memory_rescue(xp.shape, kp.shape))):
                 return _pc.conv3d_spectral(xc, kp)
+            # small-channel 1x1x1 convs at full resolution (UNETR/Swin skip
+            # projections, cin<=24, and the decoder heads): XLA materializes
+            # their channels-last operands/cotangents with C on the 128
+            # lanes — measured 4.00 GiB for a (1,32,512,512,12) temp, 21.3x
+            # pad (SwinUNETR compile OOM log, BASELINE.md round-3). Zero-
+            # embedding the kernel into the CW Pallas conv's (1,3,3) form
+            # keeps W on the lanes (1.3x pad); the 9x FLOP cost is ~0.5 ms
+            # at these channel counts. Grad of the embed pad is a slice, so
+            # autodiff recovers the exact (1,1,1) kernel gradient.
+            if (self.kernel_size == (1, 1, 1) and self.dtype == jnp.bfloat16
+                    and self.strides == (1, 1, 1)
+                    and kp.shape[3] <= 24 and kp.shape[4] <= 16
+                    and _pc._memory_rescue(xp.shape,
+                                           (1, 3, 3) + kp.shape[3:], embed=True)):
+                ke = jnp.pad(kp, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+                if _pc._supported(xp.shape, ke.shape, self.strides,
+                                  self.dilation, None):
+                    return _pc.conv3d_spectral(xc, ke)
+            # single-channel 2x-strided patch embed (Swin patch_embed on the
+            # (B,32,512,512,1) depth-padded volume): lax.conv wants the bf16
+            # input copy in a C-minor T(2,128) layout — 256x pad, 4.00 GiB
+            # for a 16 MB tensor (SwinUNETR OOM log). Decomposed into the 8
+            # strided sub-grids x broadcast weights, everything stays in
+            # clean 4D layouts and XLA fuses the slices into one output
+            # fusion; backward is interior-pad scatter + small reductions.
+            if (self.kernel_size == (2, 2, 2) and self.strides == (2, 2, 2)
+                    and xp.shape[-1] == 1 and self.dtype == jnp.bfloat16
+                    and xp.shape[3] >= 512
+                    and all(tuple(p) == (0, 0) for p in pad)
+                    and _os.getenv("SPCCT_PALLAS_RESCUE", "1") != "0"):
+                x4 = xc[..., 0]                        # (B, F, H, W)
+                y = None
+                for i in range(2):
+                    for j in range(2):
+                        for kk in range(2):
+                            part = (x4[:, i::2, j::2, kk::2][..., None]
+                                    * kp[i, j, kk, 0][None, None, None, None, :])
+                            y = part if y is None else y + part
+                return y
             if (_FAST_WGRAD and symmetric and self.strides == (1, 1, 1)
                     and self.dilation == (1, 1, 1)):
                 from ..ops.fast_conv import conv3d_fast

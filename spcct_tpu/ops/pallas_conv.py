@@ -76,7 +76,8 @@ def _pad_cin(c: int) -> int:
     return ((c + 7) // 8) * 8
 
 
-def _memory_rescue(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...]) -> bool:
+def _memory_rescue(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...],
+                   embed: bool = False) -> bool:
     """Auto-enable region, independent of the SPCCT_PALLAS_CONV perf knob:
     full-resolution small-channel convs, where XLA's conv-backward temps
     inherit layouts that lane-pad the channel dim up to 10.7x and blow the
@@ -90,7 +91,9 @@ def _memory_rescue(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...]) -> bool:
     cout = kshape[4]
     # cout <= 12 so only the pathological Swin encoder1/decoder1 shapes
     # switch; R2U/ResUNet++ (cout 16 @ 512^2) fit under XLA already.
-    return cout <= 12 and W >= 512
+    # embed=True marks zero-embedded 1x1x1 projections/heads (layers.py),
+    # where cout reaches the 13-class logits head.
+    return cout <= (16 if embed else 12) and W >= 512
 
 
 def _profitable(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...]) -> bool:
@@ -107,6 +110,12 @@ def _profitable(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...]) -> bool:
 
 
 def _row_tile(H: int) -> int:
+    # SPCCT_PALLAS_HT: rows per grid step (perf knob — larger tiles mean
+    # fewer grid iterations and longer uninterrupted MXU chains per step;
+    # VMEM scratch grows ~linearly: HT=32 @ C=32/W=512 uses ~14 MB)
+    ht = int(os.getenv("SPCCT_PALLAS_HT", "8"))
+    if H % ht == 0:
+        return ht
     return 8 if H % 8 == 0 else 1
 
 

@@ -161,10 +161,24 @@ def _unjitted_steps(recipe, optimizer, remat=False):
             return loss, (logits, mut)
 
         (loss, (logits, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        if os.getenv("SPCCT_NO_OPT") == "1":
+            # measurement knob: skip optax, keep the backward alive with a
+            # tiny SGD-like touch so grads are not dead code (perf bisection
+            # of the Pallas step regression — BASELINE.md round-3 log)
+            new_params = jax.tree.map(lambda p, g: p - 1e-12 * g.astype(p.dtype),
+                                      params, grads)
+            new_opt = opt_state
+        else:
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
         new_bs = mut["batch_stats"] if (has_bn and mut) else batch_stats
-        acc = acc.update(metric_vector(loss, logits, y))
+        if os.getenv("SPCCT_NO_METRICS") == "1":
+            # measurement knob: loss-only metric vector (keeps the host-pull
+            # completion barrier alive, drops the joint-histogram work)
+            vec = jnp.zeros_like(acc.sums).at[0].set(loss)
+            acc = acc.update(vec)
+        else:
+            acc = acc.update(metric_vector(loss, logits, y))
         return {"params": new_params, "opt_state": new_opt, "batch_stats": new_bs}, acc
 
     def eval_step(tree, acc, x, y):

@@ -75,3 +75,65 @@ def test_supported_gates():
     assert pc._memory_rescue((1, 32, 512, 512, 12), (3, 3, 3, 12, 12))
     assert not pc._memory_rescue((1, 32, 256, 256, 12), (3, 3, 3, 12, 12))
     assert not pc._memory_rescue((1, 16, 512, 512, 16), (3, 3, 3, 16, 16))
+
+
+def test_embed_1x1_conv_path(monkeypatch):
+    """1x1x1 small-channel convs route through the CW kernel by zero-
+    embedding into a (1,3,3) kernel (layers.py); values and grads must
+    match the plain XLA conv. Rescue gate monkeypatched so the test runs
+    at W=128 (real gate: W>=512, the Swin/UNETR full-res region)."""
+    monkeypatch.setattr(pc, "_memory_rescue", lambda *a, **k: True)
+    from spcct_tpu.models.layers import Conv3d
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 128, 12)), jnp.float32)
+    m = Conv3d(13, (1, 1, 1), dtype=jnp.bfloat16, use_bias=True)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def ref(v, x):
+        k = v["params"]["Conv_0"]["kernel"].astype(jnp.bfloat16)
+        b = v["params"]["Conv_0"]["bias"].astype(jnp.bfloat16)
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k, (1, 1, 1), [(0, 0)] * 3,
+            dimension_numbers=dn) + b
+
+    y, yr = m.apply(v, x), ref(v, x)
+    assert _rel_err(y, yr) < 3e-2
+    g = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+    gp = jax.grad(lambda v: jnp.vdot(m.apply(v, x).astype(jnp.float32), g))(v)
+    gr = jax.grad(lambda v: jnp.vdot(ref(v, x).astype(jnp.float32), g))(v)
+    for key in ("kernel", "bias"):
+        assert _rel_err(gp["params"]["Conv_0"][key],
+                        gr["params"]["Conv_0"][key]) < 3e-2, key
+
+
+def test_patch_embed_decomposition():
+    """2x-strided cin=1 patch embed decomposes into 8 strided sub-grids
+    (layers.py) — the lane-pad rescue for Swin's patch_embed; exact same
+    math as the strided conv."""
+    from spcct_tpu.models.layers import Conv3d
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 512, 1)), jnp.float32)
+    m = Conv3d(12, (2, 2, 2), strides=(2, 2, 2), padding=[(0, 0)] * 3,
+               dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def ref(v, x):
+        k = v["params"]["Conv_0"]["kernel"].astype(jnp.bfloat16)
+        b = v["params"]["Conv_0"]["bias"].astype(jnp.bfloat16)
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k, (2, 2, 2), [(0, 0)] * 3,
+            dimension_numbers=dn) + b
+
+    y, yr = m.apply(v, x), ref(v, x)
+    assert y.shape == yr.shape == (1, 2, 4, 256, 12)
+    assert _rel_err(y, yr) < 3e-2
+    g = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+    gp = jax.grad(lambda v: jnp.vdot(m.apply(v, x).astype(jnp.float32), g))(v)
+    gr = jax.grad(lambda v: jnp.vdot(ref(v, x).astype(jnp.float32), g))(v)
+    for key in ("kernel", "bias"):
+        assert _rel_err(gp["params"]["Conv_0"][key],
+                        gr["params"]["Conv_0"][key]) < 3e-2, key
