@@ -183,6 +183,38 @@ class Conv3d(nn.Module):
         )(x)
 
 
+class _ConvKernelParam(nn.Module):
+    """Kernel-only param holder matching _RawConv's 'kernel' (same name,
+    shape, init) so megakernel and plain checkpoints interchange."""
+    features: int
+    kernel_size: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, cin: int) -> jnp.ndarray:
+        return self.param("kernel", torch_conv_kernel_init,
+                          tuple(self.kernel_size) + (cin, self.features),
+                          jnp.float32)
+
+
+class FusedINActConv(nn.Module):
+    """IN+lrelu+conv as one Pallas megakernel (ops/pallas_conv.py
+    conv3d_in_act). Parameter tree mirrors Conv3d (<name>/Conv_0/kernel);
+    the norm's scale/bias are passed in from a raw_params Norm3d so the
+    GroupNorm params stay under the Norm module's path. bias-free, SAME,
+    stride 1 — the UNet body junction shape."""
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, scale: jnp.ndarray,
+                 bias: jnp.ndarray) -> jnp.ndarray:
+        kernel = _ConvKernelParam(self.features, tuple(self.kernel_size),
+                                  name="Conv_0")(x.shape[-1])
+        from ..ops.pallas_conv import conv3d_in_act
+        return conv3d_in_act(x.astype(self.dtype), kernel, scale, bias)
+
+
 def channels_of(x) -> int:
     """Channel count of an array or of a virtual-concat tuple."""
     if isinstance(x, (tuple, list)):
@@ -231,13 +263,18 @@ class ConvTranspose3d(nn.Module):
 
 class _GNParams(nn.Module):
     """Scale/bias holder executing the fused IN+lrelu op; named 'GroupNorm_0'
-    by Norm3d so the parameter tree matches the unfused flax GroupNorm."""
+    by Norm3d so the parameter tree matches the unfused flax GroupNorm.
+    raw=True returns the (scale, bias) params without computing — used by
+    the megakernel path, which consumes them inside conv3d_in_act."""
+    raw: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.raw:
+            return scale, bias
         from ..ops.fused_norm import instance_norm_lrelu
         return instance_norm_lrelu(x, scale, bias)
 
@@ -254,9 +291,15 @@ class Norm3d(nn.Module):
     kind: str = "instance"
     dtype: Dtype = jnp.float32
     fused_lrelu: bool = False
+    # raw_params=True creates the same GroupNorm_0/{scale,bias} params but
+    # returns them instead of normalizing — the megakernel junction
+    # (DoubleConvSpectral) feeds them into conv3d_in_act.
+    raw_params: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        if self.raw_params:
+            return _GNParams(name="GroupNorm_0", raw=True)(x)
         if self.fused_lrelu and (self.kind or "instance").lower().startswith("inst"):
             return _GNParams(name="GroupNorm_0")(x)
         # flax normalization layers compute mean/var in float32 internally

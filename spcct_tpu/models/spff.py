@@ -132,9 +132,26 @@ class DoubleConvSpectral(nn.Module):
         # instance/lrelu pair; same parameter tree either way
         fuse = _FUSED_NORM and self.norm == "instance" and self.act == "lrelu"
         x = Conv3d(self.features, k, padding=pad, use_bias=False, dtype=self.dtype)(x)
-        y = Norm3d(self.norm, dtype=self.dtype, fused_lrelu=fuse)(x, train=train)
-        x = y if fuse else a(y)
-        x = Conv3d(self.features, k, padding=pad, use_bias=False, dtype=self.dtype)(x)
+        # megakernel junction (SPCCT_MEGAKERNEL=1): IN+lrelu+conv2 as one
+        # Pallas custom-vjp op — the norm/act happens on-load inside the
+        # conv kernels instead of as separate full-tensor passes
+        # (ops/pallas_conv.py conv3d_in_act). Identical parameter tree.
+        from ..ops import pallas_conv as _pc
+        mk = (_os.getenv("SPCCT_MEGAKERNEL") == "1"
+              and self.norm == "instance" and self.act == "lrelu"
+              and self.dtype == jnp.bfloat16
+              and _pc._supported(x.shape, k + (self.features, self.features),
+                                 (1, 1, 1), (1, 1, 1), pad)
+              and _pc._mk_region(x.shape, k + (self.features, self.features)))
+        if mk:
+            from .layers import FusedINActConv
+            s0, b0 = Norm3d(self.norm, dtype=self.dtype, raw_params=True)(x)
+            x = FusedINActConv(self.features, k, dtype=self.dtype,
+                               name="Conv3d_1")(x, s0, b0)
+        else:
+            y = Norm3d(self.norm, dtype=self.dtype, fused_lrelu=fuse)(x, train=train)
+            x = y if fuse else a(y)
+            x = Conv3d(self.features, k, padding=pad, use_bias=False, dtype=self.dtype)(x)
         y = Norm3d(self.norm, dtype=self.dtype, fused_lrelu=fuse)(x, train=train)
         x = y if fuse else a(y)
         if self.use_efilm:

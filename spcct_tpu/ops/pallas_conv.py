@@ -260,6 +260,382 @@ def _conv_cw_dw(x_cw: jnp.ndarray, dy_cw: jnp.ndarray, *, kd: int,
     )(xp, dy_cw)
 
 
+# ──────────────── fused IN+lrelu+conv (megakernel) ────────────────
+#
+# conv3d_in_act(x, w, scale, bias) = conv(lrelu(instance_norm(x)·scale+bias), w)
+# as ONE custom-vjp op whose Pallas kernels apply the norm/act to the input
+# slab right after the DMA ("norm-on-load") instead of materializing the
+# normalized tensor. What remains for XLA per site: the (B,C) moment reduce
+# over x in forward, and one fused correction pass in backward. The
+# separate normalize+act write pass (fwd) and the act-mask + norm-backward
+# passes (bwd) — the measured 69 ms elementwise tail of the train step,
+# BASELINE.md round-1 attribution — happen inside the custom calls.
+#
+# Backward math (identical to ops/fused_norm.py, which is parity-tested
+# against torch InstanceNorm3d+LeakyReLU):
+#   z1 = (x-μ)·rstd ; z2 = z1·γ+β ; z3 = lrelu(z2) ; y = conv(z3, w)
+#   dz2 = lrelu'(z2) ⊙ conv_dx(dy, flip(w))     ← dx-kernel epilogue
+#   dβ = Σ dz2 ; dγ = Σ dz2·z1                  ← VMEM accumulators, same kernel
+#   dx = γ·rstd·(dz2 − dβ/n − z1·dγ/n)          ← one fused XLA pass
+#   dw = wgrad(z3, dy)                           ← dw kernel, prologue on x
+
+_EPS = 1e-5
+_SLOPE = 1e-2
+
+
+def _prologue(raw, nrm_ref, b, f, h0, *, W, H, F, p, slope):
+    """In-place on the staged slab: raw ← halo_mask ∘ lrelu(raw·m1 + m0).
+
+    The slab covers padded rows [h0, h0+HT+2) / frames [f, f+kd) / lanes
+    [0, Wp) of the zero-padded input; the affine maps those zeros to
+    lrelu(m0) ≠ 0, so every out-of-range position is re-zeroed (valid:
+    lanes [1, W], rows [1, H], frames [p, p+F))."""
+    m1 = nrm_ref[b, 0]                                     # (C, 1) f32
+    m0 = nrm_ref[b, 1]
+    z = raw[:].astype(jnp.float32) * m1[None, None] + m0[None, None]
+    z = jnp.where(z >= 0.0, z, slope * z)
+    shp = raw.shape                                        # (HT+2, kd, C, Wp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shp, 3)
+    row = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + h0
+    frm = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + f
+    ok = ((lane >= 1) & (lane <= W) & (row >= 1) & (row <= H)
+          & (frm >= p) & (frm < p + F))
+    raw[:] = jnp.where(ok, z, 0.0).astype(raw.dtype)
+
+
+def _fwd_kernel_fused(x_hbm, nrm, a_ref, o_ref, raw, shf, sem, *,
+                      HT, C, W, kd, cout, H, F, slope):
+    """_fwd_kernel with the norm-on-load prologue (x_hbm holds RAW x)."""
+    b = pl.program_id(0)
+    f = pl.program_id(1)
+    h0 = pl.program_id(2) * HT
+
+    for j in range(kd):
+        pltpu.make_async_copy(
+            x_hbm.at[b, f + j, pl.ds(h0, HT + 2)], raw.at[:, j], sem.at[j]).start()
+    for j in range(kd):
+        pltpu.make_async_copy(
+            x_hbm.at[b, f + j, pl.ds(h0, HT + 2)], raw.at[:, j], sem.at[j]).wait()
+
+    _prologue(raw, nrm, b, f, h0, W=W, H=H, F=F, p=kd // 2, slope=slope)
+
+    for dw in range(3):
+        shf[:, dw] = raw[:, :, :, dw:dw + W]
+
+    K = 9 * kd * C
+    for i in range(HT):
+        b_mat = shf[i:i + 3].reshape(K, W)
+        d = jax.lax.dot_general(a_ref[:], b_mat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, 0, i] = d.astype(o_ref.dtype)
+
+
+def _dw_kernel_fused(x_hbm, dy_hbm, nrm, o_ref, raw, shf, gy, gyt, acc, sem,
+                     gsem, *, HT, C, W, kd, cout, nsteps, H, F, slope):
+    """_dw_kernel with the prologue: contracts z3 = lrelu(affine(x)) — staged
+    on the fly from RAW x slabs — against dy."""
+    b = pl.program_id(0)
+    f = pl.program_id(1)
+    hblk = pl.program_id(2)
+    h0 = hblk * HT
+    step = (b * pl.num_programs(1) + f) * pl.num_programs(2) + hblk
+
+    for j in range(kd):
+        pltpu.make_async_copy(
+            x_hbm.at[b, f + j, pl.ds(h0, HT + 2)], raw.at[:, j], sem.at[j]).start()
+    pltpu.make_async_copy(
+        dy_hbm.at[b, f, pl.ds(h0, HT)], gy, gsem).start()
+    for j in range(kd):
+        pltpu.make_async_copy(
+            x_hbm.at[b, f + j, pl.ds(h0, HT + 2)], raw.at[:, j], sem.at[j]).wait()
+    pltpu.make_async_copy(
+        dy_hbm.at[b, f, pl.ds(h0, HT)], gy, gsem).wait()
+
+    _prologue(raw, nrm, b, f, h0, W=W, H=H, F=F, p=kd // 2, slope=slope)
+
+    for dw in range(3):
+        shf[:, dw] = raw[:, :, :, dw:dw + W]
+
+    @pl.when(step == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    K = 9 * kd * C
+    for i in range(HT):
+        gyt[:, :] = gy[i].T
+        b_mat = shf[i:i + 3].reshape(K, W)
+        upd = jax.lax.dot_general(b_mat, gyt[:, :], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc[:] += upd
+
+    @pl.when(step == nsteps - 1)
+    def _flush():
+        o_ref[:] = acc[:]
+
+
+def _dx_epi_kernel(dy_hbm, x_hbm, nrm, a_ref, o_ref, s_ref, raw, shf, xs, acc,
+                   sem, xsem, *, HT, C, W, kd, cout, H, F, slope, nh):
+    """dz3 = conv(dy, flip(w)) rows with an epilogue: multiply by lrelu'(z2)
+    (z2 recomputed from a center-row slab of RAW x) and accumulate the
+    per-channel sums S1 = Σ dz2, S2 = Σ dz2·z1 in VMEM across the
+    sequential grid (flushed per batch sample).
+
+    C = dy channels (cout of forward, padded); cout = x channels (cin_p).
+    dy_hbm is spectrally/spatially padded; x_hbm is the UNPADDED CW x."""
+    b = pl.program_id(0)
+    f = pl.program_id(1)
+    hblk = pl.program_id(2)
+    h0 = hblk * HT
+
+    for j in range(kd):
+        pltpu.make_async_copy(
+            dy_hbm.at[b, f + j, pl.ds(h0, HT + 2)], raw.at[:, j], sem.at[j]).start()
+    pltpu.make_async_copy(
+        x_hbm.at[b, f, pl.ds(h0, HT)], xs, xsem).start()
+    for j in range(kd):
+        pltpu.make_async_copy(
+            dy_hbm.at[b, f + j, pl.ds(h0, HT + 2)], raw.at[:, j], sem.at[j]).wait()
+    pltpu.make_async_copy(
+        x_hbm.at[b, f, pl.ds(h0, HT)], xs, xsem).wait()
+
+    for dw in range(3):
+        shf[:, dw] = raw[:, :, :, dw:dw + W]
+
+    @pl.when((f == 0) & (hblk == 0))          # start of each sample's section
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    n1 = nrm[b, 0]                            # rstd          (cout, 1)
+    n0 = nrm[b, 1]                            # -mean·rstd
+    sc = nrm[b, 2]                            # scale
+    bi = nrm[b, 3]                            # bias
+    K = 9 * kd * C
+    for i in range(HT):
+        b_mat = shf[i:i + 3].reshape(K, W)
+        d = jax.lax.dot_general(a_ref[:], b_mat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        xr = xs[i].astype(jnp.float32)        # (cout, W)
+        z1 = xr * n1 + n0
+        z2 = z1 * sc + bi
+        dval = jnp.where(z2 >= 0.0, d, slope * d)
+        acc[0] = acc[0] + dval
+        acc[1] = acc[1] + dval * z1
+        o_ref[0, 0, i] = dval.astype(o_ref.dtype)
+
+    @pl.when((f == F - 1) & (hblk == nh - 1))
+    def _flush():
+        s_ref[b, 0] = jnp.sum(acc[0], axis=1, keepdims=True)
+        s_ref[b, 1] = jnp.sum(acc[1], axis=1, keepdims=True)
+
+
+def _conv_cw_fused(x_cw, a, nrm, *, kd, cout, HT, H, F):
+    """Fused-prologue forward: x_cw RAW (B, F, H, C, W) bf16; nrm (B,2,C,1)
+    f32 [m1, m0] → (B, F, H, cout, W) of conv(lrelu(x·m1+m0), a)."""
+    B, F_, H_, C, W = x_cw.shape
+    p = kd // 2
+    Wp = ((W + 2 + 127) // 128) * 128
+    xp = jnp.pad(x_cw, ((0, 0), (p, p), (1, 1), (0, 0), (1, Wp - W - 1)))
+    kern = functools.partial(_fwd_kernel_fused, HT=HT, C=C, W=W, kd=kd,
+                             cout=cout, H=H, F=F, slope=_SLOPE)
+    return pl.pallas_call(
+        kern,
+        grid=(B, F, H // HT),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, HT, cout, W),
+                               lambda b, f, h: (b, f, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, F, H, cout, W), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((HT + 2, kd, C, Wp), jnp.bfloat16),
+            pltpu.VMEM((HT + 2, 3, kd, C, W), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((kd,)),
+        ],
+        interpret=_interpret(),
+    )(xp, nrm, a)
+
+
+def _conv_cw_dw_fused(x_cw, dy_cw, nrm, *, kd, HT, H, F):
+    """Fused-prologue weight grad: contracts z3(x) against dy."""
+    B, F_, H_, C, W = x_cw.shape
+    cout = dy_cw.shape[3]
+    p = kd // 2
+    Wp = ((W + 2 + 127) // 128) * 128
+    xp = jnp.pad(x_cw, ((0, 0), (p, p), (1, 1), (0, 0), (1, Wp - W - 1)))
+    K = 9 * kd * C
+    nsteps = B * F * (H // HT)
+    kern = functools.partial(_dw_kernel_fused, HT=HT, C=C, W=W, kd=kd,
+                             cout=cout, nsteps=nsteps, H=H, F=F, slope=_SLOPE)
+    return pl.pallas_call(
+        kern,
+        grid=(B, F, H // HT),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((HT + 2, kd, C, Wp), jnp.bfloat16),
+            pltpu.VMEM((HT + 2, 3, kd, C, W), jnp.bfloat16),
+            pltpu.VMEM((HT, cout, W), jnp.bfloat16),
+            pltpu.VMEM((W, cout), jnp.bfloat16),
+            pltpu.VMEM((K, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((kd,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(xp, dy_cw, nrm)
+
+
+def _conv_cw_dx_epi(dy_cw, x_cw, nrm4, a_flip, *, kd, cout, HT, H, F):
+    """dz2 (B,F,H,cout,W) bf16 + S (B,2,cout,1) f32 [Σdz2, Σdz2·z1]."""
+    B, F_, H_, Cdy, W = dy_cw.shape
+    p = kd // 2
+    Wp = ((W + 2 + 127) // 128) * 128
+    dyp = jnp.pad(dy_cw, ((0, 0), (p, p), (1, 1), (0, 0), (1, Wp - W - 1)))
+    nh = H // HT
+    kern = functools.partial(_dx_epi_kernel, HT=HT, C=Cdy, W=W, kd=kd,
+                             cout=cout, H=H, F=F, slope=_SLOPE, nh=nh)
+    return pl.pallas_call(
+        kern,
+        grid=(B, F, nh),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 1, HT, cout, W),
+                                lambda b, f, h: (b, f, h, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, F, H, cout, W), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((B, 2, cout, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((HT + 2, kd, Cdy, Wp), jnp.bfloat16),
+            pltpu.VMEM((HT + 2, 3, kd, Cdy, W), jnp.bfloat16),
+            pltpu.VMEM((HT, cout, W), jnp.bfloat16),
+            pltpu.VMEM((2, cout, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((kd,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(dyp, x_cw, nrm4, a_flip)
+
+
+def _in_stats(x):
+    """Per-(sample, channel) instance-norm moments of channels-last x."""
+    axes = (1, 2, 3)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(xf * xf, axis=axes) - mean * mean
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + _EPS)
+    return mean, rstd                                      # (B, C) each
+
+
+@jax.custom_vjp
+def conv3d_in_act(x, w, scale, bias):
+    """conv(lrelu(instance_norm_affine(x)), w), channels-last, SAME/stride-1.
+
+    One fused op replacing the Norm3d→act→Conv3d junction inside the UNet
+    double-conv blocks (reference forward: models.py:616-625 conv-IN-lrelu
+    chains). Same math as instance_norm_lrelu (ops/fused_norm.py) followed
+    by conv3d_spectral; callers gate on _supported() for the conv shape."""
+    y, _ = _fused_fwd(x, w, scale, bias)
+    return y
+
+
+def _fused_fwd(x, w, scale, bias):
+    kd, _, _, cin, cout = w.shape
+    B, F, H, W, _ = x.shape
+    HT = _row_tile(H)
+    mean, rstd = _in_stats(x)                              # (B, cin)
+    sf = scale.astype(jnp.float32)
+    m1 = rstd * sf[None]
+    m0 = bias.astype(jnp.float32)[None] - mean * m1
+    nrm = jnp.stack([m1, m0], axis=1)[..., None]           # (B, 2, cin, 1)
+    cin_p, cout_p = _pad_cin(cin), _pad_cout(cout)
+    wp = w
+    if cin_p != cin:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, cin_p - cin),))
+        wp = jnp.pad(w, ((0, 0),) * 3 + ((0, cin_p - cin), (0, 0)))
+        nrm = jnp.pad(nrm, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
+    x_cw = jnp.transpose(x, (0, 1, 2, 4, 3)).astype(jnp.bfloat16)
+    a = _pack_a(wp).astype(jnp.bfloat16)
+    if cout_p != cout:
+        a = jnp.pad(a, ((0, cout_p - cout), (0, 0)))
+    y_cw = _conv_cw_fused(x_cw, a, nrm, kd=kd, cout=cout_p, HT=HT, H=H, F=F)
+    if cout_p != cout:
+        y_cw = jax.lax.slice_in_dim(y_cw, 0, cout, axis=3)
+    y = jnp.transpose(y_cw, (0, 1, 2, 4, 3))
+    return y, (x_cw, w, mean, rstd, scale, bias)
+
+
+def _fused_bwd(res, dy):
+    x_cw, w, mean, rstd, scale, bias = res                 # x_cw cin-padded
+    kd, _, _, cin, cout = w.shape
+    B, F, H, cin_p, W = x_cw.shape
+    cout_p = _pad_cout(cout)
+    HT = _row_tile(H)
+    dy_cw = jnp.transpose(dy, (0, 1, 2, 4, 3)).astype(jnp.bfloat16)
+    if cout_p != cout:
+        dy_cw = jnp.pad(dy_cw, ((0, 0),) * 3 + ((0, cout_p - cout), (0, 0)))
+
+    sf = scale.astype(jnp.float32)
+    bf = bias.astype(jnp.float32)
+    pad_c = cin_p - cin
+    n1 = jnp.pad(rstd, ((0, 0), (0, pad_c)))               # (B, cin_p)
+    n0 = jnp.pad(-mean * rstd, ((0, 0), (0, pad_c)))
+    scb = jnp.pad(jnp.broadcast_to(sf[None], (B, cin)), ((0, 0), (0, pad_c)))
+    bib = jnp.pad(jnp.broadcast_to(bf[None], (B, cin)), ((0, 0), (0, pad_c)))
+    nrm4 = jnp.stack([n1, n0, scb, bib], axis=1)[..., None]  # (B, 4, cin_p, 1)
+
+    # dz2 + per-channel sums from the epilogue kernel
+    wp = w if pad_c == 0 else jnp.pad(w, ((0, 0),) * 3 + ((0, pad_c), (0, 0)))
+    wf = _flip_w(wp)                                       # (kd,3,3,cout,cin_p)
+    if cout_p != cout:
+        wf = jnp.pad(wf, ((0, 0),) * 3 + ((0, cout_p - cout), (0, 0)))
+    a_flip = _pack_a(wf).astype(jnp.bfloat16)              # (cin_p, 9·kd·cout_p)
+    dz2_cw, s = _conv_cw_dx_epi(dy_cw, x_cw, nrm4, a_flip, kd=kd, cout=cin_p,
+                                HT=HT, H=H, F=F)
+    S1 = s[:, 0, :, 0]                                     # (B, cin_p)
+    S2 = s[:, 1, :, 0]
+
+    # dx = γ·rstd·(dz2 − S1/n − z1·S2/n), one fused elementwise pass (CW)
+    n = F * H * W
+    cvec = (scb * n1)[:, None, None, :, None]              # (B,1,1,cin_p,1)
+    z1_cw = (x_cw.astype(jnp.float32) * n1[:, None, None, :, None]
+             + n0[:, None, None, :, None])
+    dx_cw = cvec * (dz2_cw.astype(jnp.float32)
+                    - S1[:, None, None, :, None] / n
+                    - z1_cw * (S2[:, None, None, :, None] / n))
+    dx = jnp.transpose(dx_cw, (0, 1, 2, 4, 3))[..., :cin].astype(jnp.bfloat16)
+
+    # dw from the prologue dw kernel (contracts z3(x) with dy)
+    m1v = n1 * scb
+    m0v = bib + n0 * scb
+    nrm2 = jnp.stack([m1v, m0v], axis=1)[..., None]        # (B, 2, cin_p, 1)
+    da = _conv_cw_dw_fused(x_cw, dy_cw, nrm2, kd=kd, HT=HT, H=H, F=F)
+    dw = _unpack_da(da, kd, cin_p, cout_p)[:, :, :, :cin, :cout].astype(w.dtype)
+
+    dscale = jnp.sum(S2[:, :cin], axis=0).astype(scale.dtype)
+    dbias = jnp.sum(S1[:, :cin], axis=0).astype(bias.dtype)
+    return dx, dw, dscale, dbias
+
+
+conv3d_in_act.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _mk_region(shape_cl: Tuple[int, ...], kshape: Tuple[int, ...]) -> bool:
+    """Megakernel enable region (separate from _profitable: fusion wins even
+    where the conv alone is at parity, but the deep small-tensor levels have
+    tiny norms and XLA's fastest convs — keep them)."""
+    W = shape_cl[3]
+    cout = kshape[4]
+    minw = int(os.getenv("SPCCT_MEGA_MINW", "256"))
+    maxco = int(os.getenv("SPCCT_MEGA_MAXCOUT", "64"))
+    return cout <= maxco and W >= minw
+
+
 # ─────────────────────────── public op ───────────────────────────
 
 def _pack_a(w: jnp.ndarray) -> jnp.ndarray:
