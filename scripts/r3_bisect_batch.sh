@@ -40,4 +40,9 @@ run b_pallas_cout32     SPCCT_PALLAS_CONV=1 SPCCT_PALLAS_MAXCOUT=32 python bench
 run b_pallas_ht32       SPCCT_PALLAS_CONV=1 SPCCT_PALLAS_HT=32 python bench.py
 run b_pallas_ht64       SPCCT_PALLAS_CONV=1 SPCCT_PALLAS_HT=64 python bench.py
 
+# 10-12: megakernel (fused IN+lrelu+conv junctions, commit 393b4b9)
+run b_mega              SPCCT_MEGAKERNEL=1 python bench.py
+run b_mega_pallas       SPCCT_MEGAKERNEL=1 SPCCT_PALLAS_CONV=1 python bench.py
+run b_mega_minw128      SPCCT_MEGAKERNEL=1 SPCCT_MEGA_MINW=128 SPCCT_MEGA_MAXCOUT=128 python bench.py
+
 echo "ALL DONE $(date +%H:%M:%S)" | tee -a "$OUT/summary.log"
