@@ -225,15 +225,25 @@ def channels_of(x) -> int:
 def skip_join(up: jnp.ndarray, skip: jnp.ndarray):
     """Join a decoder feature with its skip connection for the next conv.
 
-    Default: returns the (up, skip) tuple that Conv3d consumes as a virtual
-    concatenation — conv(concat(up, skip)) computed as two convs over slices
-    of one kernel parameter, so the 2C-channel tensor never materializes
-    (reference materializes torch.cat at every decoder stage, e.g.
-    innovative3D/models.py:698-700). SPCCT_REAL_CONCAT=1 restores a real
-    jnp.concatenate for A/B measurement."""
+    Small-channel joins return the (up, skip) tuple that Conv3d consumes as
+    a virtual concatenation — conv(concat(up, skip)) computed as two convs
+    over slices of one kernel parameter, so the 2C-channel tensor (and its
+    grad-of-concat split buffers) never materializes. This is a *memory*
+    rescue: it is what lets SwinUNETR's C=12 full-resolution decoder fit
+    16 GB HBM (BASELINE.md round-3). At larger channel counts the split
+    convs measurably lose to XLA's conv-of-concat (SPFF bench 30.7 →
+    27.4 patches/s with virtual concat everywhere — round-3 bisect
+    b_xla row), so joins above the threshold use a real concatenate,
+    reproducing the round-2 graph. SPCCT_VCAT_MAXC overrides the
+    threshold; SPCCT_REAL_CONCAT=1 forces real concat everywhere.
+    (Reference materializes torch.cat at every decoder stage, e.g.
+    innovative3D/models.py:698-700.)"""
     if _os.getenv("SPCCT_REAL_CONCAT") == "1":
         return jnp.concatenate([up, skip], axis=-1)
-    return (up, skip)
+    maxc = int(_os.getenv("SPCCT_VCAT_MAXC", "16"))
+    if min(up.shape[-1], skip.shape[-1]) <= maxc:
+        return (up, skip)
+    return jnp.concatenate([up, skip], axis=-1)
 
 
 class ConvTranspose3d(nn.Module):

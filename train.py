@@ -24,6 +24,13 @@ import sys
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even under the axon PJRT plugin, which registers
+    # its platform regardless of the env var (config-level selection wins).
+    # Lets CPU drives run when the TPU tunnel is down: JAX_PLATFORMS=cpu.
+    if os.getenv("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.getenv("JAX_PLATFORMS"))
+
     ap = argparse.ArgumentParser(description="SPCCT TPU-native training driver")
     ap.add_argument("--fast", action="store_true", help="fast smoke mode")
     ap.add_argument("--fast-limit", type=int, default=None)
