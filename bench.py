@@ -29,6 +29,23 @@ BASELINE_PPS = float(os.getenv("SPCCT_BASELINE_PPS", "0")) or None
 
 
 def main():
+    # Watchdog: on the tunneled backend a dead relay makes device ops hang
+    # forever (observed round-3: tunnel process died mid-session). Fail
+    # loudly instead of wedging the driver's round-end bench run.
+    import threading
+
+    budget = float(os.getenv("SPCCT_BENCH_WATCHDOG", "1800"))
+
+    def _abort():
+        import sys
+        print(f"bench.py watchdog: no result within {budget:.0f}s — "
+              "device/tunnel unresponsive", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, _abort)
+    t.daemon = True
+    t.start()
+
     from spcct_tpu.utils.jax_cache import enable as _enable_cache
     _enable_cache()
     import jax
