@@ -260,6 +260,125 @@ def _conv_cw_dw(x_cw: jnp.ndarray, dy_cw: jnp.ndarray, *, kd: int,
     )(xp, dy_cw)
 
 
+# ─────────────── GSPMD/Shardy partitioning of the kernels ───────────────
+#
+# Under a device mesh, GSPMD treats a bare pallas_call as opaque and
+# ALL-GATHERS its operands to run it replicated (measured on the virtual
+# 8-device mesh: f32[8,...] all-gather + dynamic-slice around the call) —
+# which both wastes the mesh and defeats the small-channel memory rescue
+# in multi-chip runs. These wrappers register batch-dim partitioning rules
+# (Shardy sharding_rule strings + GSPMD callbacks): the conv kernels are
+# embarrassingly parallel over B, and the dw reduction psums its per-shard
+# partial sums over the batch-sharded mesh axes.
+
+_CP_CACHE: dict = {}
+
+
+def _named(mesh, *spec):
+    from jax.sharding import NamedSharding, PartitionSpec
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+def _batch_spec(arg_info):
+    sh = getattr(arg_info, "sharding", None)
+    spec = getattr(sh, "spec", None)
+    if not spec:
+        return None
+    return spec[0]
+
+
+def _axis_names(spec) -> tuple:
+    if spec is None:
+        return ()
+    return (spec,) if isinstance(spec, str) else tuple(spec)
+
+
+def _cp_conv_cw(kd: int, cout: int, HT: int):
+    """Batch-partitioned _conv_cw; one cached custom_partitioning instance
+    per static (kd, cout, HT) configuration."""
+    key = ("cw", kd, cout, HT)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def fn(x_cw, a):
+        return _conv_cw(x_cw, a, kd=kd, cout=cout, HT=HT)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _named(mesh, _batch_spec(arg_infos[0]), None, None, None, None)
+
+    def part(mesh, arg_infos, result_infos):
+        b = _batch_spec(arg_infos[0])
+        arg_sh = (_named(mesh, b, None, None, None, None), _named(mesh))
+        out_sh = _named(mesh, b, None, None, None, None)
+
+        def lower(x_local, a_local):
+            return _conv_cw(x_local, a_local, kd=kd, cout=cout, HT=HT)
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(part, infer_sharding_from_operands=infer,
+                     sharding_rule="b f h c w, o k -> b f h o w",
+                     need_replication_factors=("f", "h", "c", "w", "o", "k"))
+    _CP_CACHE[key] = fn
+    return fn
+
+
+def _cp_conv_cw_dw(kd: int, HT: int, K: int, cout: int):
+    """Batch-partitioned _conv_cw_dw: per-shard partial (K, cout) sums,
+    psum'd over the batch-sharded mesh axes inside the partition body."""
+    key = ("dw", kd, HT, K, cout)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def fn(x_cw, dy_cw):
+        return _conv_cw_dw(x_cw, dy_cw, kd=kd, HT=HT)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _named(mesh)
+
+    def part(mesh, arg_infos, result_infos):
+        b = _batch_spec(arg_infos[0])
+        axes = _axis_names(b)
+        arg_sh = (_named(mesh, b, None, None, None, None),
+                  _named(mesh, b, None, None, None, None))
+        out_sh = _named(mesh)
+
+        def lower(x_local, dy_local):
+            da = _conv_cw_dw(x_local, dy_local, kd=kd, HT=HT)
+            if axes:
+                da = jax.lax.psum(da, axes)
+            return da
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(part, infer_sharding_from_operands=infer,
+                     sharding_rule="b f h c w, b f h o w -> k o",
+                     reduction_factors=("b",),
+                     need_replication_factors=("f", "h", "c", "w", "o", "k"))
+    _CP_CACHE[key] = fn
+    return fn
+
+
+def _maybe_partitioned_cw(x_cw, a, *, kd, cout, HT):
+    """Use the partitioned wrapper on multi-device backends; the bare
+    pallas_call single-chip (no tracing/compat overhead where it cannot
+    matter)."""
+    if jax.device_count() > 1:
+        return _cp_conv_cw(kd, cout, HT)(x_cw, a)
+    return _conv_cw(x_cw, a, kd=kd, cout=cout, HT=HT)
+
+
+def _maybe_partitioned_dw(x_cw, dy_cw, *, kd, HT):
+    if jax.device_count() > 1:
+        K = 9 * kd * x_cw.shape[3]
+        return _cp_conv_cw_dw(kd, HT, K, dy_cw.shape[3])(x_cw, dy_cw)
+    return _conv_cw_dw(x_cw, dy_cw, kd=kd, HT=HT)
+
+
 # ──────────────── fused IN+lrelu+conv (megakernel) ────────────────
 #
 # conv3d_in_act(x, w, scale, bias) = conv(lrelu(instance_norm(x)·scale+bias), w)
@@ -679,7 +798,7 @@ def _fwd(x, w):
     a = _pack_a(wp).astype(jnp.bfloat16)
     if cout_p != cout:
         a = jnp.pad(a, ((0, cout_p - cout), (0, 0)))
-    y_cw = _conv_cw(x_cw, a, kd=kd, cout=cout_p, HT=HT)
+    y_cw = _maybe_partitioned_cw(x_cw, a, kd=kd, cout=cout_p, HT=HT)
     if cout_p != cout:
         y_cw = jax.lax.slice_in_dim(y_cw, 0, cout, axis=3)
     y = jnp.transpose(y_cw, (0, 1, 2, 4, 3))
@@ -713,12 +832,12 @@ def _bwd(res, dy):
     a_flip = _pack_a(wf).astype(jnp.bfloat16)
     if dxc != cin_p:
         a_flip = jnp.pad(a_flip, ((0, dxc - cin_p), (0, 0)))
-    dx_cw = _conv_cw(dy_cw, a_flip, kd=kd, cout=dxc, HT=HT)
+    dx_cw = _maybe_partitioned_cw(dy_cw, a_flip, kd=kd, cout=dxc, HT=HT)
     if dxc != cin:
         dx_cw = jax.lax.slice_in_dim(dx_cw, 0, cin, axis=3)
     dx = jnp.transpose(dx_cw, (0, 1, 2, 4, 3)).astype(jnp.bfloat16)
     # dw: VMEM-accumulated reduction kernel
-    da = _conv_cw_dw(x_cw, dy_cw, kd=kd, HT=HT)
+    da = _maybe_partitioned_dw(x_cw, dy_cw, kd=kd, HT=HT)
     dw = _unpack_da(da, kd, cin_p, cout_p)[:, :, :, :cin, :cout].astype(w.dtype)
     return dx, dw
 
