@@ -102,3 +102,25 @@ def test_swin_rel_pos_index_range():
     assert idx.min() >= 0
     assert idx.max() < (2 * w[0] - 1) * (2 * w[1] - 1) * (2 * w[2] - 1)
     assert np.all(np.diag(idx) == idx[0, 0])  # zero-offset index is constant
+
+
+def test_skip_join_channel_gate(monkeypatch):
+    """skip_join: tuple (virtual concat) only when the smaller side is
+    <= SPCCT_VCAT_MAXC channels (the Swin memory-rescue region); larger
+    joins get a real concatenate (measured 11% step cost of virtual
+    concat at SPFF's channel counts — BASELINE.md round-3 bisect)."""
+    import jax.numpy as jnp
+    from spcct_tpu.models.layers import skip_join
+
+    small = jnp.zeros((1, 2, 4, 4, 12))
+    big = jnp.zeros((1, 2, 4, 4, 32))
+    assert isinstance(skip_join(small, small), tuple)
+    j = skip_join(big, big)
+    assert not isinstance(j, tuple) and j.shape[-1] == 64
+    # mixed: gate keys on the smaller side
+    assert isinstance(skip_join(big, small), tuple)
+    monkeypatch.setenv("SPCCT_REAL_CONCAT", "1")
+    assert not isinstance(skip_join(small, small), tuple)
+    monkeypatch.delenv("SPCCT_REAL_CONCAT")
+    monkeypatch.setenv("SPCCT_VCAT_MAXC", "64")
+    assert isinstance(skip_join(big, big), tuple)
