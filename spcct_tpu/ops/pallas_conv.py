@@ -379,6 +379,126 @@ def _maybe_partitioned_dw(x_cw, dy_cw, *, kd, HT):
     return _conv_cw_dw(x_cw, dy_cw, kd=kd, HT=HT)
 
 
+def _cp_conv_cw_fused(kd, cout, HT, H, F):
+    """Batch-partitioned _conv_cw_fused (B-only sharding: every shard keeps
+    full F/H/W, so the static halo-mask bounds are unchanged per shard)."""
+    key = ("cwf", kd, cout, HT, H, F)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def fn(x_cw, a, nrm):
+        return _conv_cw_fused(x_cw, a, nrm, kd=kd, cout=cout, HT=HT, H=H, F=F)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _named(mesh, _batch_spec(arg_infos[0]), None, None, None, None)
+
+    def part(mesh, arg_infos, result_infos):
+        b = _batch_spec(arg_infos[0])
+        arg_sh = (_named(mesh, b, None, None, None, None), _named(mesh),
+                  _named(mesh, b, None, None, None))
+        out_sh = _named(mesh, b, None, None, None, None)
+
+        def lower(x_local, a_local, nrm_local):
+            return _conv_cw_fused(x_local, a_local, nrm_local,
+                                  kd=kd, cout=cout, HT=HT, H=H, F=F)
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(part, infer_sharding_from_operands=infer,
+                     sharding_rule="b f h c w, o k, b n c u -> b f h o w",
+                     need_replication_factors=("f", "h", "c", "w", "o", "k",
+                                               "n", "u"))
+    _CP_CACHE[key] = fn
+    return fn
+
+
+def _cp_conv_cw_dw_fused(kd, HT, H, F):
+    key = ("dwf", kd, HT, H, F)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def fn(x_cw, dy_cw, nrm):
+        return _conv_cw_dw_fused(x_cw, dy_cw, nrm, kd=kd, HT=HT, H=H, F=F)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _named(mesh)
+
+    def part(mesh, arg_infos, result_infos):
+        b = _batch_spec(arg_infos[0])
+        axes = _axis_names(b)
+        arg_sh = (_named(mesh, b, None, None, None, None),
+                  _named(mesh, b, None, None, None, None),
+                  _named(mesh, b, None, None, None))
+        out_sh = _named(mesh)
+
+        def lower(x_local, dy_local, nrm_local):
+            da = _conv_cw_dw_fused(x_local, dy_local, nrm_local,
+                                   kd=kd, HT=HT, H=H, F=F)
+            if axes:
+                da = jax.lax.psum(da, axes)
+            return da
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(part, infer_sharding_from_operands=infer,
+                     sharding_rule="b f h c w, b f h o w, b n c u -> k o",
+                     reduction_factors=("b",),
+                     # first-appearance order (Shardy verifier requirement)
+                     need_replication_factors=("f", "h", "c", "w", "o", "n",
+                                               "u", "k"))
+    _CP_CACHE[key] = fn
+    return fn
+
+
+def _cp_conv_cw_dx_epi(kd, cout, HT, H, F):
+    key = ("dxe", kd, cout, HT, H, F)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def fn(dy_cw, x_cw, nrm4, a_flip):
+        return _conv_cw_dx_epi(dy_cw, x_cw, nrm4, a_flip,
+                               kd=kd, cout=cout, HT=HT, H=H, F=F)
+
+    def infer(mesh, arg_infos, result_infos):
+        b = _batch_spec(arg_infos[0])
+        return (_named(mesh, b, None, None, None, None),
+                _named(mesh, b, None, None, None))
+
+    def part(mesh, arg_infos, result_infos):
+        b = _batch_spec(arg_infos[0])
+        arg_sh = (_named(mesh, b, None, None, None, None),
+                  _named(mesh, b, None, None, None, None),
+                  _named(mesh, b, None, None, None),
+                  _named(mesh))
+        out_sh = (_named(mesh, b, None, None, None, None),
+                  _named(mesh, b, None, None, None))
+
+        def lower(dy_local, x_local, nrm_local, a_local):
+            return _conv_cw_dx_epi(dy_local, x_local, nrm_local, a_local,
+                                   kd=kd, cout=cout, HT=HT, H=H, F=F)
+
+        return mesh, lower, out_sh, arg_sh
+
+    fn.def_partition(part, infer_sharding_from_operands=infer,
+                     sharding_rule=("b f h d w, b f h c w, b n c u, c k "
+                                    "-> b f h c w, b m c v"),
+                     # Shardy requires these listed in first-appearance order
+                     need_replication_factors=("f", "h", "d", "w", "c", "n",
+                                               "u", "k", "m", "v"))
+    _CP_CACHE[key] = fn
+    return fn
+
+
+def _multi_device() -> bool:
+    return jax.device_count() > 1
+
+
 # ──────────────── fused IN+lrelu+conv (megakernel) ────────────────
 #
 # conv3d_in_act(x, w, scale, bias) = conv(lrelu(instance_norm(x)·scale+bias), w)
@@ -682,7 +802,10 @@ def _fused_fwd(x, w, scale, bias):
     a = _pack_a(wp).astype(jnp.bfloat16)
     if cout_p != cout:
         a = jnp.pad(a, ((0, cout_p - cout), (0, 0)))
-    y_cw = _conv_cw_fused(x_cw, a, nrm, kd=kd, cout=cout_p, HT=HT, H=H, F=F)
+    if _multi_device():
+        y_cw = _cp_conv_cw_fused(kd, cout_p, HT, H, F)(x_cw, a, nrm)
+    else:
+        y_cw = _conv_cw_fused(x_cw, a, nrm, kd=kd, cout=cout_p, HT=HT, H=H, F=F)
     if cout_p != cout:
         y_cw = jax.lax.slice_in_dim(y_cw, 0, cout, axis=3)
     y = jnp.transpose(y_cw, (0, 1, 2, 4, 3))
@@ -714,8 +837,12 @@ def _fused_bwd(res, dy):
     if cout_p != cout:
         wf = jnp.pad(wf, ((0, 0),) * 3 + ((0, cout_p - cout), (0, 0)))
     a_flip = _pack_a(wf).astype(jnp.bfloat16)              # (cin_p, 9·kd·cout_p)
-    dz2_cw, s = _conv_cw_dx_epi(dy_cw, x_cw, nrm4, a_flip, kd=kd, cout=cin_p,
-                                HT=HT, H=H, F=F)
+    if _multi_device():
+        dz2_cw, s = _cp_conv_cw_dx_epi(kd, cin_p, HT, H, F)(
+            dy_cw, x_cw, nrm4, a_flip)
+    else:
+        dz2_cw, s = _conv_cw_dx_epi(dy_cw, x_cw, nrm4, a_flip, kd=kd,
+                                    cout=cin_p, HT=HT, H=H, F=F)
     S1 = s[:, 0, :, 0]                                     # (B, cin_p)
     S2 = s[:, 1, :, 0]
 
@@ -733,7 +860,10 @@ def _fused_bwd(res, dy):
     m1v = n1 * scb
     m0v = bib + n0 * scb
     nrm2 = jnp.stack([m1v, m0v], axis=1)[..., None]        # (B, 2, cin_p, 1)
-    da = _conv_cw_dw_fused(x_cw, dy_cw, nrm2, kd=kd, HT=HT, H=H, F=F)
+    if _multi_device():
+        da = _cp_conv_cw_dw_fused(kd, HT, H, F)(x_cw, dy_cw, nrm2)
+    else:
+        da = _conv_cw_dw_fused(x_cw, dy_cw, nrm2, kd=kd, HT=HT, H=H, F=F)
     dw = _unpack_da(da, kd, cin_p, cout_p)[:, :, :, :cin, :cout].astype(w.dtype)
 
     dscale = jnp.sum(S2[:, :cin], axis=0).astype(scale.dtype)

@@ -92,3 +92,36 @@ def test_double_conv_megakernel_module(monkeypatch):
             jax.tree_util.tree_leaves_with_path(g_mk),
             jax.tree_util.tree_leaves_with_path(g_plain)):
         assert _rel_err(a, b) < 5e-2, path
+
+
+def test_conv3d_in_act_gspmd():
+    """Megakernel under a data-sharded mesh: batch-partitioned (no
+    all-gather), values and grads match the unsharded op."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental import mesh_utils
+
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device backend")
+    mesh = Mesh(mesh_utils.create_device_mesh((jax.device_count(),)), ("data",))
+    rng = np.random.default_rng(17)
+    B = jax.device_count()
+    x = jnp.asarray(rng.standard_normal((B, 5, 8, 128, 8)), jnp.bfloat16)
+    w = jnp.asarray(0.2 * rng.standard_normal((3, 3, 3, 8, 8)), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.3 * rng.standard_normal(8), jnp.float32)
+    bias = jnp.asarray(0.2 * rng.standard_normal(8), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, 5, 8, 128, 8)), jnp.float32)
+
+    def loss(x, w, s, b):
+        return jnp.vdot(pc.conv3d_in_act(x, w, s, b).astype(jnp.float32), g)
+
+    y1 = pc.conv3d_in_act(x, w, scale, bias)
+    g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    f = jax.jit(lambda x, w, s, b: pc.conv3d_in_act(x, w, s, b))
+    y2 = f(xs, w, scale, bias)
+    assert "all-gather" not in f.lower(xs, w, scale, bias).compile().as_text()
+    g2 = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(xs, w, scale, bias)
+    assert _rel_err(y2, y1) < 1e-2
+    for name, a, b in zip(("dx", "dw", "dscale", "dbias"), g2, g1):
+        assert _rel_err(a, b) < 2e-2, name
