@@ -62,6 +62,10 @@ class Cicek3DUNet(nn.Module):
     # (1,16,512,512,13) are 218 MB of pure temp vs 109 MB in bf16 — same
     # trick as UNet3DSpectralCore.logits_f32 (spff.py:169-172)
     logits_f32: bool = True
+    # keep virtual-concat joins at every channel count (the depth16
+    # full-resolution step sits ~1.7 GB under HBM; real concats at the
+    # 32-256ch joins would add back hundreds of MB of temps)
+    vcat_skips: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -77,13 +81,13 @@ class Cicek3DUNet(nn.Module):
         e4 = blk(8 * f, "enc4")(max_pool_3d(e3, P), train)
         b = blk(16 * f, "bott")(max_pool_3d(e4, P), train)
         d4 = blk(8 * f, "dec4")(
-            skip_join(ConvTranspose3d(8 * f, name="up4", dtype=self.dtype)(b), e4), train)
+            skip_join(ConvTranspose3d(8 * f, name="up4", dtype=self.dtype)(b), e4, prefer=self.vcat_skips), train)
         d3 = blk(4 * f, "dec3")(
-            skip_join(ConvTranspose3d(4 * f, name="up3", dtype=self.dtype)(d4), e3), train)
+            skip_join(ConvTranspose3d(4 * f, name="up3", dtype=self.dtype)(d4), e3, prefer=self.vcat_skips), train)
         d2 = blk(2 * f, "dec2")(
-            skip_join(ConvTranspose3d(2 * f, name="up2", dtype=self.dtype)(d3), e2), train)
+            skip_join(ConvTranspose3d(2 * f, name="up2", dtype=self.dtype)(d3), e2, prefer=self.vcat_skips), train)
         d1 = blk(f, "dec1")(
-            skip_join(ConvTranspose3d(f, name="up1", dtype=self.dtype)(d2), e1), train)
+            skip_join(ConvTranspose3d(f, name="up1", dtype=self.dtype)(d2), e1, prefer=self.vcat_skips), train)
         out = Conv3d(self.num_classes, (1, 1, 1), name="out", dtype=self.dtype)(d1)
         return out.astype(jnp.float32) if self.logits_f32 else out
 

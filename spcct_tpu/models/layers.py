@@ -222,7 +222,7 @@ def channels_of(x) -> int:
     return x.shape[-1]
 
 
-def skip_join(up: jnp.ndarray, skip: jnp.ndarray):
+def skip_join(up: jnp.ndarray, skip: jnp.ndarray, prefer: bool = False):
     """Join a decoder feature with its skip connection for the next conv.
 
     Small-channel joins return the (up, skip) tuple that Conv3d consumes as
@@ -237,11 +237,15 @@ def skip_join(up: jnp.ndarray, skip: jnp.ndarray):
     reproducing the round-2 graph. SPCCT_VCAT_MAXC overrides the
     threshold; SPCCT_REAL_CONCAT=1 forces real concat everywhere.
     (Reference materializes torch.cat at every decoder stage, e.g.
-    innovative3D/models.py:698-700.)"""
+    innovative3D/models.py:698-700.)
+
+    prefer=True (set by the depth-padded memory-critical recipes — SP_UNet
+    pad16, 3DUNet depth16, whose full-resolution steps sit within ~1 GB of
+    the HBM budget) keeps the virtual form at every channel count."""
     if _os.getenv("SPCCT_REAL_CONCAT") == "1":
         return jnp.concatenate([up, skip], axis=-1)
     maxc = int(_os.getenv("SPCCT_VCAT_MAXC", "16"))
-    if min(up.shape[-1], skip.shape[-1]) <= maxc:
+    if prefer or min(up.shape[-1], skip.shape[-1]) <= maxc:
         return (up, skip)
     return jnp.concatenate([up, skip], axis=-1)
 

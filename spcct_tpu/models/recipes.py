@@ -338,7 +338,10 @@ def build_registry() -> Dict[str, Recipe]:
     #    vs 16 GB HBM (measured OOM) — gradient checkpointing fits it.
     add(Recipe(
         name="SP_UNet",
-        module=_spct_core(block_remat=True, logits_f32=False),
+        # vcat_skips: full-res pad16 step sits 0.15 GiB under HBM — keep
+        # the virtual-concat joins that measurement assumed (layers.py)
+        module=_spct_core(block_remat=True, logits_f32=False,
+                          vcat_skips=True),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
         forward_wrap="pad16",
         ckpt_dir=CHECKPOINT_DIR / "SP_UNet",

@@ -188,6 +188,10 @@ class UNet3DSpectralCore(nn.Module):
     # the pad16 crop): upcast commutes exactly with cropping, and the f32
     # logits at padded depth are 872 MB (+ gradient) of pure temp.
     logits_f32: bool = True
+    # vcat_skips=True keeps virtual-concat decoder joins at every channel
+    # count (memory-critical pad16 recipes); default obeys the skip_join
+    # small-channel gate (layers.py).
+    vcat_skips: bool = False
     dtype: Dtype = jnp.float32
 
     def _post(self, x, stage):
@@ -200,11 +204,10 @@ class UNet3DSpectralCore(nn.Module):
             x = SpatialAttention3D(name=f"sa{stage}", dtype=self.dtype)(x)
         return x
 
-    @staticmethod
-    def _cat(up, skip):
+    def _cat(self, up, skip):
         if up.shape[1:4] != skip.shape[1:4]:
             up = trilinear_resize(up, skip.shape[1:4])
-        return skip_join(up, skip)
+        return skip_join(up, skip, prefer=self.vcat_skips)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
