@@ -167,6 +167,22 @@ MESH_DATA = int(os.getenv("SPCCT_MESH_DATA", "0"))   # 0 → all visible devices
 MESH_MODEL = int(os.getenv("SPCCT_MESH_MODEL", "1"))
 COMPUTE_DTYPE = os.getenv("SPCCT_COMPUTE_DTYPE", "bfloat16")
 
+# Kernel-path knobs (read at trace time where they act; index here for
+# discoverability — measurements in BASELINE.md/DESIGN.md):
+#  SPCCT_PALLAS_CONV=1    CW Pallas convs in the _profitable region (opt-in:
+#                         each custom call costs ~3.7 ms through the axon
+#                         tunnel; re-measure on directly-attached TPUs)
+#  SPCCT_MEGAKERNEL=1     fused IN+lrelu+conv junctions (opt-in, same reason)
+#  SPCCT_MEGA_MINW/MAXCOUT    megakernel region bounds (256 / 64)
+#  SPCCT_PALLAS_RESCUE=0  disable the small-channel memory-rescue kernels
+#                         (default ON — they are what fits SwinUNETR in HBM)
+#  SPCCT_VCAT_MAXC        virtual-concat join threshold (16)
+#  SPCCT_REAL_CONCAT=1    force real concatenate joins everywhere
+#  SPCCT_PALLAS_HT        kernel row-tile (8; 32+ exceeds 16 MB VMEM scope)
+#  SPCCT_PALLAS_BWD=0     Pallas forward with XLA backward (bisection)
+#  SPCCT_SCAN_EPOCH=1     one-dispatch compiled epochs (measured neutral)
+#  SPCCT_BENCH_WATCHDOG   bench.py abort timeout, seconds (1800)
+
 
 def ensure_dirs() -> None:
     """Create checkpoint/log dirs on demand (reference does this at import,
