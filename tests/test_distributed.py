@@ -89,7 +89,11 @@ def test_two_process_cpu_mesh(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # generous: the two children compile concurrently with whatever
+        # else the suite (or a co-running training job) has on the host —
+        # observed >600 s under full-suite load while passing in ~180 s
+        # standalone
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
