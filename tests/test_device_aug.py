@@ -99,19 +99,73 @@ def test_fit_device_mode(tmp_path, monkeypatch):
     assert np.isfinite(res["val_macro_dice"])
 
 
-def test_scan_epoch_matches_per_step(tmp_path, monkeypatch):
-    """SPCCT_SCAN_EPOCH=1 (one-dispatch compiled epoch) must follow the same
-    training trajectory as the per-step device path (identical param stream;
-    scan-vs-loop compilation reorders float reductions, so the match is
-    approximate, not bitwise)."""
-    from spcct_tpu.train.driver import fit
+def test_scan_epoch_matches_per_step():
+    """make_scan_epoch (one-dispatch compiled epoch) must follow the same
+    training trajectory as the per-step device path given the identical
+    (idx, aug-param) stream. Structural check: compare the full param tree
+    leaf-by-leaf after K steps, not a post-fit dice scalar — the old
+    fit-level scalar assertion at rtol 1e-2 was inherently near-threshold
+    and flaked under full-suite load (VERDICT r3 weak #7 / task 7).
 
-    monkeypatch.setenv("SPCCT_DEVICE_DATA", "1")
-    r1 = fit("PlainCore_UNet", 11, max_epochs=1, log_root=tmp_path / "a",
-             ckpt_root=tmp_path / "cka", run_test=False)
-    monkeypatch.setenv("SPCCT_SCAN_EPOCH", "1")
-    r2 = fit("PlainCore_UNet", 11, max_epochs=1, log_root=tmp_path / "b",
-             ckpt_root=tmp_path / "ckb", run_test=False)
-    assert np.isfinite(r2["val_macro_dice"])
-    np.testing.assert_allclose(r1["val_macro_dice"], r2["val_macro_dice"],
-                               rtol=1e-2, atol=1e-3)
+    Uses SGD, not the recipe's Adam: bias-corrected Adam's first steps are
+    ~lr*sign(g), so scan-vs-loop reduction-order noise flips the sign of
+    near-zero grads and elementwise closeness cannot hold. With SGD the
+    trajectory difference is pure accumulation-order noise, so a tight
+    tolerance is valid — and the scan wiring under test (idx/param
+    threading, carry order, aug replay) is optimizer-independent."""
+    import jax
+    import optax
+
+    from spcct_tpu.metrics import MetricAccum, metric_names
+    from spcct_tpu.models.recipes import get_recipe
+    from spcct_tpu.train.loop import create_state, make_scan_epoch, make_steps
+
+    di, dl, _, _ = _mk(F=5, H=32, W=32, n=4, seed=9)
+    recipe = get_recipe("PlainCore_UNet")
+    aug = TrainGridAug()
+    rng = np.random.default_rng(11)
+    K, B = 3, 2
+    idxs = rng.integers(0, 4, (K, B)).astype(np.int32)
+    # per step: B per-sample param sets stacked to (B, ...); then the scan
+    # stream stacks steps to (S, B, ...) exactly as driver.py:226-233 does
+    per_step = []
+    for s in range(K):
+        ps = [draw_params(aug, 32, 32, gs=4, rng=rng, noise_seed=s * B + b)
+              for b in range(B)]
+        per_step.append({k: np.stack([p[k] for p in ps]) for k in ps[0]})
+    stacked = {k: np.stack([p[k] for p in per_step]) for k in per_step[0]}
+
+    opt = optax.sgd(5e-2)
+
+    def fresh():
+        x0, _ = device_batch(di, dl, idxs[0], per_step[0])
+        state, _ = create_state(recipe, jax.random.PRNGKey(0), x0, K, 1)
+        tree = state.tree()
+        tree["opt_state"] = opt.init(tree["params"])
+        acc = MetricAccum.zeros(len(metric_names("x")))
+        return tree, acc
+
+    # path A: per-step jitted train_step
+    tree_a, acc_a = fresh()
+    train_step, _ = make_steps(recipe, opt)
+    for s in range(K):
+        x, y = device_batch(di, dl, idxs[s], per_step[s])
+        tree_a, acc_a = train_step(tree_a, acc_a, x, y)
+
+    # path B: one lax.scan epoch over the same stream
+    tree_b, acc_b = fresh()
+    train_epoch = make_scan_epoch(recipe, opt)
+    tree_b, acc_b = train_epoch(tree_b, acc_b, di, dl, idxs, stacked)
+
+    leaves_a, treedef_a = jax.tree.flatten(tree_a["params"])
+    leaves_b, treedef_b = jax.tree.flatten(tree_b["params"])
+    assert treedef_a == treedef_b
+    # Noise floor: XLA-CPU threaded reductions are not run-to-run
+    # deterministic (measured max-abs 4e-6 solo, 7e-5 with warm caches /
+    # under load — the round-3 suite-flake mechanism). A wiring bug shows
+    # as ~5e-3 (the SGD update magnitude) on most elements, so a pure
+    # absolute band an order of magnitude below that is decisive and
+    # load-robust. No rtol: near-zero params make relative noise unbounded.
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=0, atol=5e-4)
