@@ -116,8 +116,19 @@ def load_scan(cfg: dict, num_frames: int) -> Tuple[np.ndarray, np.ndarray]:
     """
     paths = _find_dicoms(Path(cfg["dir"]))
     if not paths:
-        seed = abs(hash(cfg.get("name", "scan"))) % (2 ** 31)
+        # crc32, not hash(): str hash is salted per process, which made the
+        # synthetic noise realization differ between train.py and test.py
+        # invocations (and between protocol runs) — deterministic now.
+        import zlib
+        seed = zlib.crc32(cfg.get("name", "scan").encode()) % (2 ** 31)
         hw = (SYNTHETIC_IMAGE_HW, SYNTHETIC_IMAGE_HW)
+        if os.getenv("SPCCT_PHANTOM", "v1") == "v2":
+            # hard phantom: per-slice geometric jitter, partial-volume
+            # boundaries, correlated spectral noise, beam hardening, rings
+            # (phantom_v2.py) — the benchmark with discrimination power
+            from .phantom_v2 import synth_scan_v2
+            return synth_scan_v2(cfg, num_frames, SYNTHETIC_SLICES_PER_SCAN,
+                                 hw, seed, _MATERIAL_SPECTRA)
         return synth_scan(cfg, num_frames, SYNTHETIC_SLICES_PER_SCAN, hw, seed)
 
     # pydicom when available (full format coverage); otherwise the built-in
