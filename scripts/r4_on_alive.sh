@@ -38,4 +38,13 @@ run r4_percall_xla.log    python scripts/percall_probe.py --mode xla
 run r4_bench_default.log  python bench.py
 run r4_bench_pallas.log   env SPCCT_PALLAS_CONV=1 python bench.py
 run r4_bench_megakernel.log env SPCCT_MEGAKERNEL=1 python bench.py
-echo "[r4_on_alive] sequence complete at $(date -u +%H:%M:%S)"
+run r4_mem_spunet.log     python scripts/mem_probe.py SP_UNet
+echo "[r4_on_alive] measurement sequence complete at $(date -u +%H:%M:%S)"
+
+# chain straight into the priority-ordered protocol so no chip time is
+# wasted between operator check-ins; individually resumable, deadline 9 h
+DEADLINE=$(( $(date +%s) + 9 * 3600 ))
+echo "[r4_on_alive] launching run_protocol_r4.sh (deadline $DEADLINE)"
+nohup bash scripts/run_protocol_r4.sh "$DEADLINE" \
+  > /tmp/protocol_r4.log 2>&1 & echo $! > /tmp/protocol_r4.pid
+echo "[r4_on_alive] protocol pid $(cat /tmp/protocol_r4.pid)"

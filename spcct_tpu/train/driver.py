@@ -210,6 +210,7 @@ def fit(
             "variant": variant, "seed": seed, "backend": jax.default_backend(),
             "data_path": "device" if use_device_data else "host",
             "scan_epoch": bool(use_scan_epoch),
+            "phantom": os.getenv("SPCCT_PHANTOM", "v1"),
             "max_epochs": max_epochs, "batch_size": dm.batch_size,
             "n_params": int(n_params),
         }, indent=2))

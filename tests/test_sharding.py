@@ -37,7 +37,15 @@ def test_pad_batch_to_mesh():
 
 def test_data_parallel_train_step_matches_single_device():
     """Gradient all-reduce via sharding annotations: an 8-way sharded step
-    must produce the same params as the unsharded step."""
+    must produce the same params as the unsharded step.
+
+    SGD, not the recipe's Adam (same rationale as
+    test_scan_epoch_matches_per_step): Adam's first step is ~lr*sign(g),
+    so reduction-order noise on near-zero grads flips signs and breaks
+    elementwise closeness — and Adam's scale invariance would HIDE a
+    sum-vs-mean all-reduce bug, which SGD exposes directly."""
+    import optax
+
     from spcct_tpu.models.spff import UNet3DSpectralCore
     from spcct_tpu.models.recipes import Recipe, _base_lit_loss
     from spcct_tpu.train.loop import create_state, make_steps
@@ -49,7 +57,9 @@ def test_data_parallel_train_step_matches_single_device():
     y = jnp.asarray(rng.integers(0, 13, (8, 5, 8, 8)).astype(np.int32))
 
     from spcct_tpu.metrics import MetricAccum, metric_names
-    state, opt = create_state(recipe, jax.random.PRNGKey(0), x, 1, 1)
+    state, _ = create_state(recipe, jax.random.PRNGKey(0), x, 1, 1)
+    opt = optax.sgd(5e-2)
+    state.opt_state = opt.init(state.params)
     tree_a = jax.tree.map(lambda a: a.copy(), state.tree())
     tree_b = jax.tree.map(lambda a: a.copy(), state.tree())
     n_m = len(metric_names("x"))
@@ -65,7 +75,7 @@ def test_data_parallel_train_step_matches_single_device():
     mv_b = acc_b.result()
 
     for a, b in zip(jax.tree.leaves(tree_a["params"]), jax.tree.leaves(tree_b["params"])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(mv_a), np.asarray(mv_b), atol=1e-4,
                                equal_nan=True)
 
