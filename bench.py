@@ -45,7 +45,10 @@ def _device_alive(timeout: float = 90.0) -> bool:
     import subprocess
     import sys
 
-    code = ("import jax, jax.numpy as jnp;"
+    code = ("import os, jax;"
+            "p = os.getenv('JAX_PLATFORMS');"
+            "jax.config.update('jax_platforms', p) if p else None;"
+            "import jax.numpy as jnp;"
             "assert float(jnp.ones((8, 8)).sum()) == 64.0")
     try:
         r = subprocess.run([sys.executable, "-c", code],
@@ -86,6 +89,9 @@ def main():
     from spcct_tpu.utils.jax_cache import enable as _enable_cache
     _enable_cache()
     import jax
+    # honor JAX_PLATFORMS under the axon PJRT plugin (same as train.py:30)
+    if os.getenv("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.getenv("JAX_PLATFORMS"))
     import jax.numpy as jnp
     from spcct_tpu.models.recipes import get_recipe
     from spcct_tpu.train.loop import create_state, make_steps
@@ -103,21 +109,52 @@ def main():
 
     from spcct_tpu.metrics import MetricAccum, metric_names
     state, opt = create_state(recipe, jax.random.PRNGKey(0), x, 100, 100)
-    train_step, _ = make_steps(recipe, opt)
     tree = state.tree()
     acc = MetricAccum.zeros(len(metric_names("x")))
 
-    for _ in range(warmup):
-        tree, acc = train_step(tree, acc, x, y)
-    float(acc.sums[0])  # host pull: block_until_ready alone does not drain
-    # the remote execution stream on tunneled backends — a dependent scalar
-    # transfer is the only reliable completion barrier.
+    if os.getenv("SPCCT_BENCH_SCAN") == "1":
+        # One-dispatch mode: lax.scan the train step over `steps` iterations
+        # inside a single donated executable (the SPCCT_SCAN_EPOCH execution
+        # shape, minus the aug gather). Discriminates per-DISPATCH costs from
+        # per-call in-executable costs: if the ~3.7 ms/custom-call tax of the
+        # round-3 bisect is paid at dispatch (e.g. the tunnel re-shipping
+        # kernel payloads per launch), Pallas+scan wins where Pallas+per-step
+        # loses. Same math, same donation discipline, honest mode label.
+        import functools
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        tree, acc = train_step(tree, acc, x, y)
-    assert np.isfinite(float(acc.sums[0]))  # forces the full 'steps' chain
-    dt = time.perf_counter() - t0
+        from spcct_tpu.train.loop import _unjitted_steps
+        inner, _ = _unjitted_steps(recipe, opt)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnums=(4,))
+        def run_chunk(tree, acc, x, y, n):
+            def body(carry, _):
+                t, a = carry
+                t, a = inner(t, a, x, y)
+                return (t, a), ()
+            (tree, acc), _ = jax.lax.scan(body, (tree, acc), None, length=n)
+            return tree, acc
+
+        # one compiled n=steps chunk; first call is compile+warm, second timed
+        tree, acc = run_chunk(tree, acc, x, y, steps)
+        float(acc.sums[0])
+        t0 = time.perf_counter()
+        tree, acc = run_chunk(tree, acc, x, y, steps)
+        assert np.isfinite(float(acc.sums[0]))
+        dt = time.perf_counter() - t0
+    else:
+        train_step, _ = make_steps(recipe, opt)
+        for _ in range(warmup):
+            tree, acc = train_step(tree, acc, x, y)
+        float(acc.sums[0])  # host pull: block_until_ready alone does not
+        # drain the remote execution stream on tunneled backends — a
+        # dependent scalar transfer is the only reliable completion barrier.
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            tree, acc = train_step(tree, acc, x, y)
+        assert np.isfinite(float(acc.sums[0]))  # forces the full chain
+        dt = time.perf_counter() - t0
 
     n_dev = jax.local_device_count()
     voxels_per_step = batch * frames * hw * hw

@@ -38,6 +38,11 @@ run r4_percall_xla.log    python scripts/percall_probe.py --mode xla
 run r4_bench_default.log  python bench.py
 run r4_bench_pallas.log   env SPCCT_PALLAS_CONV=1 python bench.py
 run r4_bench_megakernel.log env SPCCT_MEGAKERNEL=1 python bench.py
+# one-dispatch scan chunks: discriminate per-dispatch vs in-executable
+# custom-call cost (if the r3 tax is per dispatch, pallas+scan wins)
+run r4_bench_scan_xla.log    env SPCCT_BENCH_SCAN=1 python bench.py
+run r4_bench_scan_pallas.log env SPCCT_BENCH_SCAN=1 SPCCT_PALLAS_CONV=1 python bench.py
+run r4_bench_scan_mega.log   env SPCCT_BENCH_SCAN=1 SPCCT_MEGAKERNEL=1 python bench.py
 run r4_mem_spunet.log     python scripts/mem_probe.py SP_UNet
 echo "[r4_on_alive] measurement sequence complete at $(date -u +%H:%M:%S)"
 
