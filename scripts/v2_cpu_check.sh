@@ -1,0 +1,21 @@
+#!/bin/bash
+# v2_cpu_check.sh — CPU-scale sanity of the hard phantom (VERDICT r3 task
+# 4 acceptance): at 128^2/25-epoch budget, (a) validation must NOT
+# saturate at ~0.9998 like v1 did, (b) record the SPFF-vs-PlainCore gap
+# in the regime that discriminated on v1 (BASELINE.md round-3: +7.5 pt).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+export SPCCT_PHANTOM=v2 SPCCT_SYNTH_HW=128 SPCCT_SYNTH_SLICES=6
+export JAX_PLATFORMS=cpu
+export CHECKPOINT_DIR="$PWD/runs_v2_cpu/checkpoints"
+export LOG_DIR="$PWD/runs_v2_cpu/logs"
+mkdir -p "$CHECKPOINT_DIR" "$LOG_DIR"
+for v in SPFF-UNet PlainCore_UNet; do
+  if [ -f "$LOG_DIR/all_results.csv" ] && grep -q "^$v,42," "$LOG_DIR/all_results.csv"; then
+    echo "[v2-cpu] $v done, skipping"; continue
+  fi
+  echo "[v2-cpu] === $v ($(date -u +%H:%M:%S)) ==="
+  timeout 14400 python train.py --variant "$v" --seeds 42 --epochs 25 \
+    || echo "[v2-cpu] $v FAILED rc=$?"
+done
+echo "[v2-cpu] complete"

@@ -182,6 +182,14 @@ COMPUTE_DTYPE = os.getenv("SPCCT_COMPUTE_DTYPE", "bfloat16")
 #  SPCCT_PALLAS_BWD=0     Pallas forward with XLA backward (bisection)
 #  SPCCT_SCAN_EPOCH=1     one-dispatch compiled epochs (measured neutral)
 #  SPCCT_BENCH_WATCHDOG   bench.py abort timeout, seconds (1800)
+# Round-4 additions:
+#  SPCCT_PHANTOM=v2       hard synthetic phantom (data/phantom_v2.py);
+#                         default v1 keeps runs_protocol*/ comparable
+#  SPCCT_BENCH_SCAN=1     bench.py one-dispatch scan-chunk mode
+#  SPCCT_BENCH_WAIT       bench.py liveness-probe retry budget, s (900)
+#  SPCCT_BENCH_RETRY_SLEEP  probe retry sleep, s (120)
+#  SPCCT_DRYRUN_FORCE_CPU=1 dryrun_multichip: skip the device probe
+#  SPCCT_DRYRUN_WATCHDOG  dryrun subprocess budget, s (1800)
 
 
 def ensure_dirs() -> None:
