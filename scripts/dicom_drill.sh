@@ -20,6 +20,13 @@ python scripts/make_dicom_fixture.py "$WORK/data" --hw 256
 # 1. loader-level verification: the fixture is read via the DICOM path
 SPCCT_DATA_DIR="$WORK/data" python - <<'EOF'
 import os
+
+import jax
+
+# honor JAX_PLATFORMS under the axon PJRT plugin (env var is overridden by
+# the sitecustomize; only the config API works — same as train.py:30)
+if os.getenv("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.getenv("JAX_PLATFORMS"))
 import numpy as np
 # config reads SPCCT_DATA_DIR at import time
 from spcct_tpu.config import dataset_configs
