@@ -340,8 +340,12 @@ def build_registry() -> Dict[str, Recipe]:
         name="SP_UNet",
         # vcat_skips: full-res pad16 step sits 0.15 GiB under HBM — keep
         # the virtual-concat joins that measurement assumed (layers.py)
+        # SPCCT_LEVEL_REMAT=1: decoder-level remat cells (spff._DecStage)
+        # stop saving the ConvTranspose outputs (~3.8 GiB of boundary
+        # saves) — headroom candidate pending the round-4 AOT A/B probe
         module=_spct_core(block_remat=True, logits_f32=False,
-                          vcat_skips=True),
+                          vcat_skips=True,
+                          level_remat=os.getenv("SPCCT_LEVEL_REMAT") == "1"),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
         forward_wrap="pad16",
         ckpt_dir=CHECKPOINT_DIR / "SP_UNet",

@@ -124,3 +124,55 @@ def test_skip_join_channel_gate(monkeypatch):
     monkeypatch.delenv("SPCCT_REAL_CONCAT")
     monkeypatch.setenv("SPCCT_VCAT_MAXC", "64")
     assert isinstance(skip_join(big, big), tuple)
+
+
+def test_level_remat_decoder_is_math_identical():
+    """level_remat=True regroups the decoder into per-level remat cells
+    (spff._DecStage) — the parameter tree nests differently but the math
+    must be identical. Map the trees and compare logits and grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax.core import freeze, unfreeze
+
+    from spcct_tpu.models.spff import UNet3DSpectralCore
+
+    kw = dict(num_classes=13, base=4, ksd=3, use_se=True, use_specse=True,
+              block_remat=True, logits_f32=False, vcat_skips=True)
+    m0 = UNet3DSpectralCore(**kw)
+    m1 = UNet3DSpectralCore(**kw, level_remat=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 5, 16, 16, 1)).astype(np.float32))
+    p0 = m0.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    p1 = unfreeze(m1.init(jax.random.PRNGKey(1), x, train=False)["params"])
+
+    p0u = unfreeze(p0)
+    for lvl, stage in ((3, "stage3"), (2, "stage2"), (1, "stage1")):
+        p1[stage]["up"] = p0u[f"up{lvl}"]
+        p1[stage]["dec"] = p0u[f"dec{lvl}"]
+    for k in p1:
+        if not k.startswith("stage"):
+            p1[k] = p0u[k]
+
+    y0 = m0.apply({"params": p0}, x, train=False)
+    y1 = m1.apply({"params": freeze(p1)}, x, train=False)
+    np.testing.assert_allclose(np.asarray(y0, np.float32),
+                               np.asarray(y1, np.float32), atol=1e-6)
+
+    def loss0(p):
+        return jnp.sum(m0.apply({"params": p}, x, train=True).astype(jnp.float32) ** 2)
+
+    def loss1(p):
+        return jnp.sum(m1.apply({"params": p}, x, train=True).astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(loss0)(p0)
+    g1 = jax.grad(loss1)(freeze(p1))
+    g0u, g1u = unfreeze(g0), unfreeze(g1)
+    for lvl, stage in ((3, "stage3"), (2, "stage2"), (1, "stage1")):
+        for a, b in (("up", f"up{lvl}"), ("dec", f"dec{lvl}")):
+            ga = jax.tree.leaves(g1u[stage][a])
+            gb = jax.tree.leaves(g0u[b])
+            for la, lb in zip(ga, gb):
+                np.testing.assert_allclose(np.asarray(la, np.float32),
+                                           np.asarray(lb, np.float32),
+                                           atol=5e-3, rtol=5e-3)
