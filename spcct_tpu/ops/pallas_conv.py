@@ -119,6 +119,19 @@ def _row_tile(H: int) -> int:
     return 8 if H % 8 == 0 else 1
 
 
+def _conv_cost(B, F, H, W, C, cout, kd, extra_bytes=0):
+    """CostEstimate for a CW conv call: accurate FLOPs/bytes let XLA's
+    latency-hiding scheduler overlap the custom call instead of assuming
+    a default (pallas guide: Compiler Parameters and Cost Estimation)."""
+    K = 9 * kd * C
+    return pl.CostEstimate(
+        flops=2 * B * F * H * W * cout * K,
+        bytes_accessed=(B * F * H * C * W + K * cout
+                        + B * F * H * cout * W) * 2 + extra_bytes,
+        transcendentals=0,
+    )
+
+
 # ─────────────────────────── forward ───────────────────────────
 
 def _fwd_kernel(x_hbm, a_ref, o_ref, raw, shf, sem, *, HT, C, W, kd, cout):
@@ -173,6 +186,7 @@ def _conv_cw(x_cw: jnp.ndarray, a: jnp.ndarray, *, kd: int, cout: int,
             pltpu.VMEM((HT + 2, 3, kd, C, W), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((kd,)),
         ],
+        cost_estimate=_conv_cost(B, F, H, W, C, cout, kd),
         interpret=_interpret(),
     )(xp, a)
 
@@ -256,6 +270,7 @@ def _conv_cw_dw(x_cw: jnp.ndarray, dy_cw: jnp.ndarray, *, kd: int,
             pltpu.SemaphoreType.DMA((kd,)),
             pltpu.SemaphoreType.DMA,
         ],
+        cost_estimate=_conv_cost(B, F, H, W, C, cout, kd),
         interpret=_interpret(),
     )(xp, dy_cw)
 
@@ -691,6 +706,7 @@ def _conv_cw_fused(x_cw, a, nrm, *, kd, cout, HT, H, F):
             pltpu.VMEM((HT + 2, 3, kd, C, W), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((kd,)),
         ],
+        cost_estimate=_conv_cost(B, F, H, W, C, cout, kd),
         interpret=_interpret(),
     )(xp, nrm, a)
 
@@ -723,6 +739,7 @@ def _conv_cw_dw_fused(x_cw, dy_cw, nrm, *, kd, HT, H, F):
             pltpu.SemaphoreType.DMA((kd,)),
             pltpu.SemaphoreType.DMA,
         ],
+        cost_estimate=_conv_cost(B, F, H, W, C, cout, kd),
         interpret=_interpret(),
     )(xp, dy_cw, nrm)
 
@@ -757,6 +774,8 @@ def _conv_cw_dx_epi(dy_cw, x_cw, nrm4, a_flip, *, kd, cout, HT, H, F):
             pltpu.SemaphoreType.DMA((kd,)),
             pltpu.SemaphoreType.DMA,
         ],
+        cost_estimate=_conv_cost(B, F, H, W, Cdy, cout, kd,
+                                 extra_bytes=B * F * H * cout * W * 2),
         interpret=_interpret(),
     )(dyp, x_cw, nrm4, a_flip)
 
