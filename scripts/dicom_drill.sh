@@ -15,7 +15,9 @@ WORK="${1:-/tmp/dicom_drill}"
 rm -rf "$WORK"
 mkdir -p "$WORK"
 
-python scripts/make_dicom_fixture.py "$WORK/data" --hw 256
+# 1 file/scan keeps the 512^2 CPU training phase tractable on small hosts
+# (the DICOM path's resolution is the fixed reference 512^2 — no shrink knob)
+python scripts/make_dicom_fixture.py "$WORK/data" --hw 192 --files-per-scan 1
 
 # 1. loader-level verification: the fixture is read via the DICOM path
 SPCCT_DATA_DIR="$WORK/data" python - <<'EOF'
@@ -44,8 +46,8 @@ EOF
 # slow on CPU, so cap samples with --fast-limit)
 SPCCT_DATA_DIR="$WORK/data" \
 CHECKPOINT_DIR="$WORK/ck" LOG_DIR="$WORK/logs" \
-timeout 3000 python train.py --fast --fast-limit 3 --fast-skip-viz \
-  --variant PlainCore_UNet --seeds 42 --epochs 1
+timeout "${SPCCT_DRILL_TIMEOUT:-9000}" python train.py --fast --fast-limit 2 \
+  --fast-skip-viz --variant PlainCore_UNet --seeds 42 --epochs 1
 
 python - "$WORK/logs/all_results.csv" <<'EOF'
 import csv, math, sys
