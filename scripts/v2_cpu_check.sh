@@ -1,11 +1,11 @@
 #!/bin/bash
 # v2_cpu_check.sh — CPU-scale sanity of the hard phantom (VERDICT r3 task
-# 4 acceptance): at 128^2/25-epoch budget, (a) validation must NOT
+# 4 acceptance): at small-scale CPU budget (64² default; SPCCT_SYNTH_HW overrides), (a) validation must NOT
 # saturate at ~0.9998 like v1 did, (b) record the SPFF-vs-PlainCore gap
 # in the regime that discriminated on v1 (BASELINE.md round-3: +7.5 pt).
 set -uo pipefail
 cd "$(dirname "$0")/.."
-export SPCCT_PHANTOM=v2 SPCCT_SYNTH_HW=128 SPCCT_SYNTH_SLICES=6
+export SPCCT_PHANTOM=v2 SPCCT_SYNTH_HW=${SPCCT_SYNTH_HW:-64} SPCCT_SYNTH_SLICES=${SPCCT_SYNTH_SLICES:-6}
 export JAX_PLATFORMS=cpu
 export CHECKPOINT_DIR="$PWD/runs_v2_cpu/checkpoints"
 export LOG_DIR="$PWD/runs_v2_cpu/logs"
