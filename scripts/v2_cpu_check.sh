@@ -18,4 +18,16 @@ for v in SPFF-UNet PlainCore_UNet; do
   timeout 14400 python train.py --variant "$v" --seeds 42 --epochs 25 \
     || echo "[v2-cpu] $v FAILED rc=$?"
 done
+
+# v1 control at the identical budget — the saturation CONTRAST is the
+# acceptance evidence, not the absolute v2 number
+export SPCCT_PHANTOM=v1
+export CHECKPOINT_DIR="$PWD/runs_v2_cpu/checkpoints_v1ctrl"
+export LOG_DIR="$PWD/runs_v2_cpu/logs_v1ctrl"
+mkdir -p "$CHECKPOINT_DIR" "$LOG_DIR"
+if ! { [ -f "$LOG_DIR/all_results.csv" ] && grep -q "^PlainCore_UNet,42," "$LOG_DIR/all_results.csv"; }; then
+  echo "[v2-cpu] === PlainCore_UNet v1 control ($(date -u +%H:%M:%S)) ==="
+  timeout 14400 python train.py --variant PlainCore_UNet --seeds 42 --epochs 25 \
+    || echo "[v2-cpu] v1 control FAILED rc=$?"
+fi
 echo "[v2-cpu] complete"
