@@ -37,17 +37,27 @@ def _skip(reason: str) -> None:
     }), flush=True)
 
 
-def _device_alive(timeout: float = 90.0) -> bool:
+def _device_alive(timeout: float = 150.0) -> bool:
     """Run a tiny computation on the default backend in a watchdog
     subprocess. On the tunneled axon backend a dead relay makes backend
     init block forever (not raise) — a subprocess + hard timeout turns
-    that into False."""
+    that into False.
+
+    The probe MUST enable the persistent compile cache: without it every
+    probe subprocess recompiles its tiny program cold through the tunnel's
+    serialized compile service, which takes >90 s whenever another compile
+    is (or was recently) in flight — observed round 4 as a false
+    "device unreachable" on a live chip (perf_logs/r4_bench_megakernel.log)
+    while cache-enabled probes passed in ~19 s."""
     import subprocess
     import sys
 
-    code = ("import os, jax;"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (f"import sys; sys.path.insert(0, {repo!r});"
+            "import os, jax;"
             "p = os.getenv('JAX_PLATFORMS');"
             "jax.config.update('jax_platforms', p) if p else None;"
+            "from spcct_tpu.utils.jax_cache import enable; enable();"
             "import jax.numpy as jnp;"
             "assert float(jnp.ones((8, 8)).sum()) == 64.0")
     try:
