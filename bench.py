@@ -135,8 +135,11 @@ def main():
         from spcct_tpu.train.loop import _unjitted_steps
         inner, _ = _unjitted_steps(recipe, opt)
 
+        from spcct_tpu.utils.xla_opts import xla_compiler_options
+
         @functools.partial(jax.jit, donate_argnums=(0, 1),
-                           static_argnums=(4,))
+                           static_argnums=(4,),
+                           compiler_options=xla_compiler_options())
         def run_chunk(tree, acc, x, y, n):
             def body(carry, _):
                 t, a = carry

@@ -44,8 +44,17 @@ run_one() {  # run_one <variant> <seed> <ckdir> <logdir> [extra env as K=V ...]
     return
   fi
   echo "[protocol-r4] === $v seed $s -> $log ($(date -u +%H:%M:%S)) ==="
+  # Bound the in-flight run by the deadline too (plus a short grace for the
+  # test pass): runs checkpoint every SPCCT_CKPT_EVERY epochs and auto-resume,
+  # so a timeout kill loses at most a few epochs — while an unbounded run
+  # would still hold the chip when the driver's round-end bench needs it.
+  local t=10800
+  if [ "$DEADLINE" != "0" ]; then
+    t=$(( DEADLINE - $(date +%s) + 600 ))
+    [ "$t" -gt 10800 ] && t=10800
+  fi
   env CHECKPOINT_DIR="$ck" LOG_DIR="$log" "$@" \
-    timeout 10800 python train.py --variant "$v" --seeds "$s" --epochs "$EPOCHS" \
+    timeout "$t" python train.py --variant "$v" --seeds "$s" --epochs "$EPOCHS" \
     || echo "[protocol-r4] $v/seed$s FAILED (rc=$?)"
 }
 

@@ -34,7 +34,15 @@ run_one() {
     return
   fi
   echo "[protocol-v2] === $v seed $s ($(date -u +%H:%M:%S)) ==="
-  timeout 10800 python train.py --variant "$v" --seeds "$s" --epochs "$EPOCHS" \
+  # Bound the in-flight run by the deadline (+grace) as well — runs
+  # checkpoint every SPCCT_CKPT_EVERY epochs and auto-resume, so a timeout
+  # kill loses little, while an unbounded run holds the chip past the slot.
+  t=10800
+  if [ "$DEADLINE" != "0" ]; then
+    t=$(( DEADLINE - $(date +%s) + 600 ))
+    [ "$t" -gt 10800 ] && t=10800
+  fi
+  timeout "$t" python train.py --variant "$v" --seeds "$s" --epochs "$EPOCHS" \
     || echo "[protocol-v2] $v/seed$s FAILED (rc=$?)"
 }
 

@@ -190,6 +190,10 @@ COMPUTE_DTYPE = os.getenv("SPCCT_COMPUTE_DTYPE", "bfloat16")
 #  SPCCT_BENCH_RETRY_SLEEP  probe retry sleep, s (120)
 #  SPCCT_DRYRUN_FORCE_CPU=1 dryrun_multichip: skip the device probe
 #  SPCCT_DRYRUN_WATCHDOG  dryrun subprocess budget, s (1800)
+#  SPCCT_XLA_OPTS         comma-separated KEY=VALUE XLA compiler options
+#                         passed to every jitted step (utils/xla_opts.py);
+#                         the only per-program flag path that reaches the
+#                         tunneled backend's compiler
 
 
 def ensure_dirs() -> None:

@@ -25,6 +25,7 @@ from flax.core import FrozenDict
 from ..metrics import metric_vector
 from ..models.recipes import Recipe
 from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from ..utils.xla_opts import xla_compiler_options
 
 
 @dataclasses.dataclass
@@ -70,6 +71,7 @@ def make_steps(
     eval_step(state_tree, x, y)  -> (metric_vec, logits)
     """
     train_step, eval_step = _unjitted_steps(recipe, optimizer, remat)
+    copts = xla_compiler_options()
 
     if mesh is not None:
         bsh = batch_sharding(mesh)
@@ -79,17 +81,21 @@ def make_steps(
             in_shardings=(rep, rep, bsh, bsh),
             out_shardings=(rep, rep),
             donate_argnums=(0, 1),
+            compiler_options=copts,
         )
         eval_step = jax.jit(
             eval_step, in_shardings=(rep, rep, bsh, bsh),
             out_shardings=(rep, rep), donate_argnums=(1,),
+            compiler_options=copts,
         )
     else:
         # SPCCT_NO_DONATE=1: measurement knob — isolates donation/custom-call
         # buffer-aliasing interactions (see BASELINE.md perf log)
         don = () if os.getenv("SPCCT_NO_DONATE") == "1" else (0, 1)
-        train_step = jax.jit(train_step, donate_argnums=don)
-        eval_step = jax.jit(eval_step, donate_argnums=(1,) if don else ())
+        train_step = jax.jit(train_step, donate_argnums=don,
+                             compiler_options=copts)
+        eval_step = jax.jit(eval_step, donate_argnums=(1,) if don else (),
+                            compiler_options=copts)
     return train_step, eval_step
 
 
@@ -113,7 +119,8 @@ def make_scan_epoch(recipe: "Recipe", optimizer: optax.GradientTransformation,
 
     inner_train, _ = _unjitted_steps(recipe, optimizer, remat)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       compiler_options=xla_compiler_options())
     def train_epoch(tree, acc, images, labels, idxs, params):
         def body(carry, xs):
             tree, acc = carry
