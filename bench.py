@@ -14,8 +14,9 @@
 # config.py:27, SURVEY.md §2.6 note: no sliding-window inference).
 #
 # vs_baseline: the reference publishes no numbers (BASELINE.md), so the
-# denominator is our own recorded first-round value in BASELINE.md when
-# present; otherwise 1.0.
+# denominator is our own recorded round-2 value (30.749 p/s, BASELINE.md
+# round-2 table) so regressions/progress are visible in the driver artifact
+# itself; override with SPCCT_BASELINE_PPS.
 from __future__ import annotations
 
 import json
@@ -25,7 +26,7 @@ import time
 import numpy as np
 
 VOXELS_PER_PATCH = 64 ** 3
-BASELINE_PPS = float(os.getenv("SPCCT_BASELINE_PPS", "0")) or None
+BASELINE_PPS = float(os.getenv("SPCCT_BASELINE_PPS", "30.749")) or None
 METRIC = "spff_unet_train_64cube_patches_per_sec_per_chip"
 UNIT = "64^3-voxel patches/s/chip"
 

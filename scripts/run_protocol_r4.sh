@@ -52,6 +52,7 @@ run_one() {  # run_one <variant> <seed> <ckdir> <logdir> [extra env as K=V ...]
   if [ "$DEADLINE" != "0" ]; then
     t=$(( DEADLINE - $(date +%s) + 600 ))
     [ "$t" -gt 10800 ] && t=10800
+    [ "$t" -lt 60 ] && t=60  # floor: `timeout 0` would DISABLE the bound
   fi
   env CHECKPOINT_DIR="$ck" LOG_DIR="$log" "$@" \
     timeout "$t" python train.py --variant "$v" --seeds "$s" --epochs "$EPOCHS" \

@@ -22,7 +22,7 @@ EPOCHS="${EPOCHS:-200}"
 mkdir -p "$CHECKPOINT_DIR" "$LOG_DIR"
 
 run_one() {
-  v=$1; s=$2
+  local v=$1 s=$2 t
   while [ -f /tmp/spcct_pause ]; do sleep 30; done
   if [ "$DEADLINE" != "0" ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
     echo "[protocol-v2] deadline reached; stopping before $v/seed$s"
@@ -41,6 +41,7 @@ run_one() {
   if [ "$DEADLINE" != "0" ]; then
     t=$(( DEADLINE - $(date +%s) + 600 ))
     [ "$t" -gt 10800 ] && t=10800
+    [ "$t" -lt 60 ] && t=60  # floor: `timeout 0` would DISABLE the bound
   fi
   timeout "$t" python train.py --variant "$v" --seeds "$s" --epochs "$EPOCHS" \
     || echo "[protocol-v2] $v/seed$s FAILED (rc=$?)"

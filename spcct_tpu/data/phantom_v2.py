@@ -46,6 +46,9 @@ from .rasterize import paint_labels, scale_rois
 # Dense inserts that cause beam-hardening streaks: HA800, HA400, I15.
 _DENSE_LABELS = (1, 2, 9)
 
+# calibration hook (scripts/v2_calibrate.py): when set, overrides sig_pix
+_SIG_PIX_OVERRIDE: float | None = None
+
 
 # ── small numpy helpers (no scipy dependency) ─────────────────────────
 
@@ -172,8 +175,9 @@ def synth_scan_v2(cfg: dict, num_frames: int, num_slices: int,
 
     # noise-level profile: v1 used sigma 0.03 iid; v2's discrimination
     # pressure comes mostly from here (interior Mahalanobis distance between
-    # confusable materials ~2.6 per pixel at 0.055)
-    sig_pix = 0.055
+    # confusable materials ~2.6 per pixel at 0.055). _SIG_PIX_OVERRIDE is the
+    # calibration hook used by scripts/v2_calibrate.py sweeps; None = default.
+    sig_pix = _SIG_PIX_OVERRIDE if _SIG_PIX_OVERRIDE is not None else 0.055
     sig_scatter = 0.02
 
     imgs = np.empty((num_slices, F, H, W), np.float32)

@@ -16,9 +16,12 @@ def enable() -> None:
 
     cache_dir = os.getenv("JAX_COMPILATION_CACHE_DIR",
                           str(Path.home() / ".cache" / "spcct_jax_cache"))
-    Path(cache_dir).mkdir(parents=True, exist_ok=True)
     try:
+        # mkdir can raise on a read-only HOME / unwritable cache dir; that
+        # must degrade to a cold compile, never fail the caller (bench.py's
+        # liveness probe would otherwise report a false "device unreachable").
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
-        pass  # older jax without the knobs
+        pass  # older jax without the knobs, or unwritable cache dir

@@ -58,6 +58,11 @@ def main(argv=None):
     from spcct_tpu.utils.jax_cache import enable as _enable_cache
     _enable_cache()
 
+    # fail fast on a malformed SPCCT_XLA_OPTS (otherwise the ValueError fires
+    # at the first make_steps call, minutes into dataset setup — ADVICE r4)
+    from spcct_tpu.utils.xla_opts import xla_compiler_options
+    xla_compiler_options()
+
     # multi-host: must precede any jax backend touch. No-op unless
     # SPCCT_COORDINATOR/SPCCT_NUM_PROCESSES (or SPCCT_AUTO_DISTRIBUTED=1 on a
     # TPU pod) are set — see spcct_tpu/parallel/distributed.py.
