@@ -157,7 +157,15 @@ def main():
         assert np.isfinite(float(acc.sums[0]))
         dt = time.perf_counter() - t0
     else:
-        train_step, _ = make_steps(recipe, opt)
+        # SPCCT_BENCH_REMAT=1: full-forward gradient checkpointing on the
+        # bench step. The step is HBM-bandwidth-bound (BASELINE.md round-5
+        # bytes memo: 139.5 ms BW floor vs 75.9 ms compute floor), so
+        # recomputing the forward trades idle MXU FLOPs for saved-residual
+        # traffic — and lets XLA fuse recomputed norm/act/gate chains
+        # directly into their gradient consumers instead of round-tripping
+        # HBM. Measurement knob for the round-5 elementwise-tail attack.
+        remat = os.getenv("SPCCT_BENCH_REMAT") == "1" or recipe.remat
+        train_step, _ = make_steps(recipe, opt, remat=remat)
         for _ in range(warmup):
             tree, acc = train_step(tree, acc, x, y)
         float(acc.sums[0])  # host pull: block_until_ready alone does not

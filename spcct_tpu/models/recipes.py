@@ -216,6 +216,14 @@ def _spct_core(**overrides):
         num_classes=NUM_CLASSES, base=32, ksd=3,
         use_se=True, use_specse=True, use_spatial=False, use_skip_gate=False,
         num_frames=NUM_FRAMES, dtype=jnp.bfloat16,
+        # Measurement knobs for the round-5 bandwidth-remat experiments
+        # (BASELINE.md round-5): per-DoubleConv / per-decoder-level remat on
+        # ANY SPCT-family recipe. Both recompute elementwise/norm chains in
+        # the backward pass, trading idle MXU FLOPs for HBM traffic.
+        # level_remat changes the decoder parameter-tree layout — fresh
+        # trees only (bench/probe use, not resuming checkpoints).
+        block_remat=os.getenv("SPCCT_BLOCK_REMAT") == "1",
+        level_remat=os.getenv("SPCCT_LEVEL_REMAT_ALL") == "1",
     )
     kw.update(overrides)
     return UNet3DSpectralCore(**kw)
