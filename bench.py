@@ -97,6 +97,14 @@ def main():
     t.daemon = True
     t.start()
 
+    # Default compiler options: the round-5 SPCCT_XLA_OPTS sweep's one
+    # reproducible positive arm (BASELINE.md round-5 flag table:
+    # vmem 32 MiB scoped limit, +0.2% twice, 30.83/30.84 p/s; 64 MiB is
+    # -4.4% and 96 MiB compile-OOMs). Explicit SPCCT_XLA_OPTS wins.
+    if "cpu" not in os.getenv("JAX_PLATFORMS", ""):  # TPU-only flag
+        os.environ.setdefault(
+            "SPCCT_XLA_OPTS", "xla_tpu_scoped_vmem_limit_kib=32768")
+
     from spcct_tpu.utils.jax_cache import enable as _enable_cache
     _enable_cache()
     import jax

@@ -60,13 +60,22 @@ echo "[protocol-r5] phase C: Swin window 7^3 (2^3 row = r4 Phase A default)"
 run_one SwinUNETR 42 "$SW_CK" "$SW_LOG" SPCCT_SWIN_WINDOW=7
 
 echo "[protocol-r5] phase D: remaining v1 seeds, fast-first"
-for v in E_SP_UNet FG_SP_UNet R2UNet3D "ResUNet++" 3DUNet UNETR SwinUNETR; do
+# order by measured two-seed cost (seed-42 epoch times x early-stop epochs,
+# BASELINE.md round-3 table): E_SP ~30m, FG_SP ~35m, 3DUNet ~45m,
+# SP_UNet ~50m, SwinUNETR ~70m, UNETR ~75m, ResUNet++ ~85m, R2U ~90m —
+# each completed PAIR upgrades a variant to the reference's mean+-SD unit.
+for v in E_SP_UNet FG_SP_UNet 3DUNet; do
   for s in 123 999; do
     run_one "$v" "$s" "$R3_CK" "$R3_LOG"
   done
 done
 for s in 123 999; do
   run_one SP_UNet "$s" "$R3_CK" "$R3_LOG" SPCCT_LEVEL_REMAT=1
+done
+for v in SwinUNETR UNETR "ResUNet++" R2UNet3D; do
+  for s in 123 999; do
+    run_one "$v" "$s" "$R3_CK" "$R3_LOG"
+  done
 done
 
 echo "[protocol-r5] phase B-extras: v2 ablation trio (chip time permitting)"

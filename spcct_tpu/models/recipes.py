@@ -348,12 +348,15 @@ def build_registry() -> Dict[str, Recipe]:
         name="SP_UNet",
         # vcat_skips: full-res pad16 step sits 0.15 GiB under HBM — keep
         # the virtual-concat joins that measurement assumed (layers.py)
-        # SPCCT_LEVEL_REMAT=1: decoder-level remat cells (spff._DecStage)
-        # stop saving the ConvTranspose outputs (~3.8 GiB of boundary
-        # saves) — headroom candidate pending the round-4 AOT A/B probe
+        # Level-remat DEFAULT-ON (round-5 AOT A/B, perf_logs/
+        # r5_memprobe_spunet_{off,on}.log): decoder-level remat cells
+        # (spff._DecStage) stop saving the ConvTranspose outputs, cutting
+        # live step demand 15.55 -> 14.63 GiB (+0.92 GiB headroom vs the
+        # 0.15 GiB-from-OOM default it replaces). SPCCT_LEVEL_REMAT=0
+        # restores the old configuration for measurement.
         module=_spct_core(block_remat=True, logits_f32=False,
                           vcat_skips=True,
-                          level_remat=os.getenv("SPCCT_LEVEL_REMAT") == "1"),
+                          level_remat=os.getenv("SPCCT_LEVEL_REMAT", "1") == "1"),
         loss=_base_lit_loss, opt_kind="adam", lr=BEST_LR, plateau=True,
         forward_wrap="pad16",
         ckpt_dir=CHECKPOINT_DIR / "SP_UNet",
