@@ -176,3 +176,15 @@ def test_level_remat_decoder_is_math_identical():
                 np.testing.assert_allclose(np.asarray(la, np.float32),
                                            np.asarray(lb, np.float32),
                                            atol=5e-3, rtol=5e-3)
+
+
+def test_sp_unet_level_remat_default_on(monkeypatch):
+    """Round-5 AOT A/B (BASELINE.md): decoder-level remat cuts SP_UNet's
+    full-res live demand 15.55 -> 14.63 GiB, so it is the default;
+    SPCCT_LEVEL_REMAT=0 must restore the old configuration."""
+    from spcct_tpu.models import recipes as R
+
+    monkeypatch.delenv("SPCCT_LEVEL_REMAT", raising=False)
+    assert R.build_registry()["SP_UNet"].module.level_remat is True
+    monkeypatch.setenv("SPCCT_LEVEL_REMAT", "0")
+    assert R.build_registry()["SP_UNet"].module.level_remat is False
