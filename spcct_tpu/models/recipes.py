@@ -284,12 +284,13 @@ def build_registry() -> Dict[str, Recipe]:
     #    AdamW 8e-4 wd 1e-2, warmup-5 cosine.
     #    Window size: the reference CONFIGURES (2,2,2) (config.py:374) but its
     #    kwarg filter drops it, so MONAI's default 7^3 is what actually runs.
-    #    Default here stays 2^3 (the configured intent); SPCCT_SWIN_WINDOW=7
-    #    selects actual-reference-behavior parity. A measured 2^3-vs-7^3
-    #    accuracy comparison is pending full-resolution trainability
-    #    (ROADMAP.md #10).
+    #    Default here is 7^3: actual-reference-behavior parity AND the winner
+    #    of the round-5 matched-budget comparison (test macro dice 0.7413 vs
+    #    0.6559 at +4% epoch time — BASELINE.md "Phase C COMPLETE").
+    #    SPCCT_SWIN_WINDOW=2 reproduces the configured-intent arm (the v1
+    #    protocol table in runs_protocol_r3/ pins it for row consistency).
     from .swin_unetr import SwinUNETR
-    _win = int(os.getenv("SPCCT_SWIN_WINDOW", "2"))
+    _win = int(os.getenv("SPCCT_SWIN_WINDOW", "7"))
     add(Recipe(
         name="SwinUNETR",
         module=SwinUNETR(num_classes=NUM_CLASSES, feature_size=12,
