@@ -30,6 +30,11 @@ BASELINE_PPS = float(os.getenv("SPCCT_BASELINE_PPS", "30.749")) or None
 METRIC = "spff_unet_train_64cube_patches_per_sec_per_chip"
 UNIT = "64^3-voxel patches/s/chip"
 
+# Protocol runners write their own pid here (scripts/run_protocol_r5*.sh);
+# they block before starting their NEXT row whenever PAUSE_FLAG exists.
+PROTOCOL_PIDFILES = ("/tmp/r5b.pid", "/tmp/r5slot.pid", "/tmp/r5proto.pid")
+PAUSE_FLAG = "/tmp/spcct_pause"
+
 
 def _skip(reason: str) -> None:
     print(json.dumps({
@@ -69,7 +74,85 @@ def _device_alive(timeout: float = 150.0) -> bool:
         return False
 
 
+def _proc_alive(pid: int) -> bool:
+    """True if pid exists and is not a zombie (zombies keep /proc entries
+    but hold no device resources)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            state = f.read().rsplit(")", 1)[-1].split()[0]
+        return state != "Z"
+    except OSError:
+        return False
+
+
+def _descendants(root: int) -> list:
+    """All transitive children of `root`, from the /proc ppid table."""
+    kids = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid = int(f.read().rsplit(")", 1)[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        kids.setdefault(ppid, []).append(int(d))
+    out, stack = [], [root]
+    while stack:
+        for c in kids.get(stack.pop(), []):
+            out.append(c)
+            stack.append(c)
+    return out
+
+
+def _preempt_protocol_runner(pidfiles=PROTOCOL_PIDFILES,
+                             pause_flag=PAUSE_FLAG) -> None:
+    """The driver's round-end bench must own the chip: a mid-row protocol
+    training run holds ~14 of the 16 GiB HBM (BASELINE.md round-3 memory
+    table) and would OOM this measurement. If a runner pidfile names a
+    live process, raise the pause flag (runners block on it before their
+    NEXT row), then stop the runner's in-flight descendants — exact pids
+    from the /proc parent table, never pattern matches. The interrupted
+    row is resumable from its every-SPCCT_CKPT_EVERY-epoch checkpoint.
+    Opt out with SPCCT_BENCH_NO_PREEMPT=1."""
+    import signal
+    import time as _t
+
+    if os.getenv("SPCCT_BENCH_NO_PREEMPT") == "1":
+        return
+    for pf in pidfiles:
+        try:
+            with open(pf) as f:
+                runner = int(f.read().strip())
+        except (OSError, ValueError):
+            continue
+        if not _proc_alive(runner):
+            continue
+        with open(pause_flag, "w"):
+            pass
+        procs = _descendants(runner)
+        for sig in (signal.SIGTERM, signal.SIGKILL):
+            live = [p for p in procs if _proc_alive(p)]
+            if not live:
+                break
+            for p in live:
+                try:
+                    os.kill(p, sig)
+                except OSError:
+                    pass
+            t0 = _t.time()
+            while (_t.time() - t0 < 20
+                   and any(_proc_alive(p) for p in live)):
+                _t.sleep(1)
+        _t.sleep(5)  # let the tunnel release the dead client's HBM
+
+
 def main():
+    # Gate -1: reclaim the chip from a mid-row protocol runner (TPU only —
+    # CPU runs, e.g. the test suite, never contend for HBM).
+    if "cpu" not in os.getenv("JAX_PLATFORMS", ""):
+        _preempt_protocol_runner()
+
     # Gate 0: bounded liveness probe with device_watch-style retry. A dead
     # tunnel must produce a structured skip line (rc=0), never a hang or a
     # raw traceback (BENCH_r03 was rc=1; VERDICT r3 task 1).
@@ -199,4 +282,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # never a traceback in the driver artifact:
+        # any failure (device OOM, tunnel RPC error, import breakage) must
+        # still produce exactly one parseable JSON line with rc=0
+        # (BENCH_r03 was an rc=1 raw traceback; VERDICT r3 task 1).
+        _skip(f"exception: {type(e).__name__}: {e}")
